@@ -1,0 +1,117 @@
+"""DDPM training loss and ancestral sampling as compiled scans.
+
+Reference: pointnet2/util.py:184-294.  The reference runs a Python loop of
+T=1000 CUDA-kernel-launch-heavy forwards with a replica-cached condition
+feature (`use_retained_condition_feature`).  Here the whole reverse process is
+a single `lax.scan` inside one jitted program: the caller encodes the
+condition cloud ONCE and closes over the loop-invariant features in
+`denoise_fn`, which is exactly what the reference's cache emulates.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import DiffusionSchedule
+
+# denoise_fn(x: (B,N,3), ts: (B,) float32) -> eps_hat (B,N,3)
+DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def q_sample(
+    x0: jax.Array, t: jax.Array, noise: jax.Array, schedule: DiffusionSchedule
+) -> jax.Array:
+    """Forward-process sample x_t ~ q(x_t | x_0)  (util.py:281-282).
+
+    Args:
+      x0: (B, N, D); t: (B,) int; noise: (B, N, D) standard normal.
+    """
+    ab = schedule.alpha_bar[t][:, None, None]
+    return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+
+def training_loss(
+    rng: jax.Array,
+    denoise_fn: DenoiseFn,
+    x0: jax.Array,
+    schedule: DiffusionSchedule,
+) -> jax.Array:
+    """Epsilon-prediction MSE (util.py:258-294): t ~ U[0, T), MSE(eps_hat, z)."""
+    B = x0.shape[0]
+    rng_t, rng_z = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (B,), 0, schedule.T)
+    z = jax.random.normal(rng_z, x0.shape, dtype=x0.dtype)
+    x_t = q_sample(x0, t, z, schedule)
+    eps_hat = denoise_fn(x_t, t.astype(jnp.float32))
+    return jnp.mean(jnp.square(eps_hat - z))
+
+
+def sampling(
+    rng: jax.Array,
+    denoise_fn: DenoiseFn,
+    shape: tuple[int, ...],
+    schedule: DiffusionSchedule,
+    t_slices: Optional[Sequence[int]] = None,
+    XT: Optional[jax.Array] = None,
+    warm_start_step: Optional[int] = None,
+):
+    """Ancestral reverse diffusion p(x_0 | x_T) as one `lax.scan`.
+
+    Mirrors util.py:184-255 including:
+      * warm start from a precomputed XT: x = XT + sigma[step] * z and the
+        loop starts at step-1 (util.py:217-220);
+      * noise-free t-slice capture: x is recorded right after the mean update
+        and before the sigma_t z term is added (util.py:243-247).
+
+    Args:
+      rng: PRNG key.
+      denoise_fn: closure over params/condition features; see DenoiseFn.
+      shape: (B, N, 3) output shape.
+      schedule: DiffusionSchedule.
+      t_slices: optional static list of t values at which to record the
+        noise-free state.
+      XT / warm_start_step: optional warm start (both or neither).
+
+    Returns:
+      x0 of `shape`, or (x0, {t: slice}) if t_slices is given.
+    """
+    B = shape[0]
+    rng_init, rng_loop = jax.random.split(rng)
+
+    if XT is not None:
+        assert warm_start_step is not None
+        z = jax.random.normal(rng_init, shape, dtype=jnp.float32)
+        x = XT + schedule.sigma[warm_start_step] * z
+        start = warm_start_step - 1
+    else:
+        x = jax.random.normal(rng_init, shape, dtype=jnp.float32)
+        start = schedule.T - 1
+
+    slices_t = tuple(int(t) for t in t_slices) if t_slices else ()
+    slice_buf = jnp.zeros((len(slices_t),) + tuple(shape), dtype=jnp.float32)
+    ts_arr = jnp.asarray(slices_t, dtype=jnp.int32) if slices_t else None
+
+    steps = jnp.arange(start, -1, -1)  # t = start .. 0
+
+    def body(carry, t):
+        x, slice_buf, rng = carry
+        rng, rng_z = jax.random.split(rng)
+        ts = jnp.full((B,), t, dtype=jnp.float32)
+        eps = denoise_fn(x, ts)
+        alpha_t = schedule.alpha[t]
+        abar_t = schedule.alpha_bar[t]
+        x = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(alpha_t)
+        if slices_t:
+            hit = (ts_arr == t)[:, None, None, None]  # (S, 1, 1, 1)
+            slice_buf = jnp.where(hit, x[None], slice_buf)
+        z = jax.random.normal(rng_z, x.shape, dtype=x.dtype)
+        x = x + jnp.where(t > 0, schedule.sigma[t], 0.0) * z
+        return (x, slice_buf, rng), None
+
+    (x, slice_buf, _), _ = jax.lax.scan(body, (x, slice_buf, rng_loop), steps)
+    if slices_t:
+        return x, {t: slice_buf[i] for i, t in enumerate(slices_t)}
+    return x

@@ -1,0 +1,85 @@
+"""Furthest point sampling and index gathers, XLA-native.
+
+Reference semantics: pointnet2_ops_lib/pointnet2_ops/_ext-src/src/sampling_gpu.cu
+(furthest_point_sampling_kernel, lines 69-173) and the autograd wrappers in
+pointnet2_ops/pointnet2_utils.py:62-129.  Instead of a CUDA block per batch row
+with a shared-memory tree reduction, we carry a running min-distance vector in
+registers/VMEM across a `lax.fori_loop`; the per-iteration argmax maps onto the
+VPU and the (B, N) distance update is a fused broadcast-subtract-reduce.
+
+Quirks reproduced exactly:
+  * the first selected index is always 0;
+  * points with squared norm <= 1e-3 are treated as padding and never selected
+    (sampling_gpu.cu:100-101) — MVP partial clouds pad with zeros;
+  * selection maximizes the running minimum distance to the selected set.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+PAD_NORM_SQ = 1e-3
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Iteratively select ``npoint`` maximally-separated points.
+
+    Args:
+      xyz: (B, N, 3) point positions.
+      npoint: number of points to select (static).
+
+    Returns:
+      (B, npoint) int32 indices into N.  Non-differentiable (indices).
+    """
+    B, N, _ = xyz.shape
+    x = xyz.astype(jnp.float32)
+    valid = jnp.sum(x * x, axis=-1) > PAD_NORM_SQ  # (B, N)
+
+    def body(j, carry):
+        mindist, old, idxs = carry
+        # squared distance of every point to the most recently selected point
+        sel = jnp.take_along_axis(x, old[:, None, None], axis=1)  # (B, 1, 3)
+        d = jnp.sum(jnp.square(x - sel), axis=-1)  # (B, N)
+        mindist = jnp.minimum(mindist, d)
+        cand = jnp.where(valid, mindist, -1.0)
+        new = jnp.argmax(cand, axis=-1).astype(jnp.int32)  # (B,)
+        idxs = jax.lax.dynamic_update_index_in_dim(idxs, new, j, axis=1)
+        return mindist, new, idxs
+
+    init_idx = jnp.zeros((B, npoint), dtype=jnp.int32)
+    init_old = jnp.zeros((B,), dtype=jnp.int32)
+    init_dist = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    _, _, idxs = jax.lax.fori_loop(1, npoint, body, (init_dist, init_old, init_idx))
+    return idxs
+
+
+def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather points/features by index along the point axis.
+
+    Channels-last analogue of the reference ``gather_operation``
+    (pointnet2_utils.py:96-129 operates on (B, C, N); we use (B, N, C)).
+
+    Args:
+      points: (B, N, C).
+      idx: (B, M) int indices.
+
+    Returns:
+      (B, M, C).  Differentiable w.r.t. ``points`` (XLA scatter-add in the VJP).
+    """
+    return jnp.take_along_axis(points, idx[..., None], axis=1)
+
+
+def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbor groups: (B, N, C) x (B, M, K) -> (B, M, K, C).
+
+    Channels-last analogue of ``grouping_operation``
+    (pointnet2_utils.py:222-268).
+    """
+    B, M, K = idx.shape
+    flat = idx.reshape(B, M * K)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(B, M, K, points.shape[-1])
