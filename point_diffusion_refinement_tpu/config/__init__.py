@@ -1,0 +1,13 @@
+from .loader import (
+    restore_string_to_list_in_a_dict,
+    load_config,
+    DEFAULT_POINTNET_CONFIG,
+    tiny_pointnet_config,
+)
+
+__all__ = [
+    "restore_string_to_list_in_a_dict",
+    "load_config",
+    "DEFAULT_POINTNET_CONFIG",
+    "tiny_pointnet_config",
+]

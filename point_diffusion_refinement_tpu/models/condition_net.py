@@ -1,0 +1,515 @@
+"""The flagship model: dual-path conditional PointNet++ denoiser.
+
+Reference: pointnet2/models/pointnet2_with_pcld_condition.py
+(PointNet2CloudCondition) on top of pointnet2_ssg_sem.py
+(build_SA_model/build_FP_model ladders).
+
+Two parallel PointNet++ ladders process the noisy cloud x_t and the condition
+(partial) cloud; per-level Feature Transfer modules inject condition features
+into the x_t branch at both encoder and decoder; a 2-stage PointNet global
+feature and a class embedding condition every MLP block.
+
+TPU-first restructuring: the reference caches condition-branch activations
+across the T reverse steps via mutable module state
+(`use_retained_condition_feature`, pointnet2_with_pcld_condition.py:270-274,
+364-369, 385-388, 412-414, 453-455).  Here the condition encoding is an
+explicit pure function `encode_condition` whose output pytree is closed over
+by the sampling scan — loop-invariant by construction, zero mutable state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.schedule import calc_t_emb
+from .attention import AttentionPool, GlobalSelfAttention  # noqa: F401 (re-export)
+from .common import ConditionedMLP, PartialGroupNorm, swish, ACTIVATIONS
+from .model_config import FrozenCfg, freeze_config
+from .modules import (
+    FeaturePropagation,
+    FeatureTransfer,
+    KnnFeaturePropagation,
+    SetAbstraction,
+)
+from .pnet import Pnet2Stage
+
+
+class CondFeatures(NamedTuple):
+    """Loop-invariant condition-branch activations (the reference's retained
+    feature cache, made explicit)."""
+
+    l_uvw: tuple  # positions at each level, len = n_levels + 1
+    encoder_feats: tuple  # condition features after the encoder, len = n_levels + 1
+    decoder_feats: tuple  # condition features after the decoder FP ladder
+    global_feature: Optional[jax.Array]  # (B, G)
+
+
+def _nerf_encode(x: jax.Array, multires: int) -> jax.Array:
+    """NeRF positional encoding, include_input=False, log-sampled
+    (models/model_utils.py:3-51)."""
+    freqs = 2.0 ** jnp.arange(multires, dtype=jnp.float32)
+    parts = []
+    for f in freqs:
+        parts.append(jnp.sin(x * f))
+        parts.append(jnp.cos(x * f))
+    return jnp.concatenate(parts, axis=-1)
+
+
+class PointNet2CloudCondition(nn.Module):
+    """Construct from the reference's `pointnet_config` dict (same schema as
+    exp_configs/mvp_configs/*.json after list restoration)."""
+
+    hp: Any  # FrozenCfg
+
+    @classmethod
+    def from_config(cls, pointnet_config) -> "PointNet2CloudCondition":
+        return cls(hp=freeze_config(pointnet_config))
+
+    # ---- config helpers -------------------------------------------------
+    def _att(self, setting, key_use="use_attention_module"):
+        if setting is None:
+            return dict(use_attention=False)
+        return dict(
+            use_attention=bool(setting[key_use]),
+            attention_bn=bool(setting.get("attention_bn", True)),
+            attention_transform_out=bool(setting.get("transform_grouped_feat_out", True)),
+            attention_last_activation=bool(setting.get("last_activation", True)),
+        )
+
+    def _global_att(self, setting, level):
+        if setting is None or not setting.get("use_global_attention_module", False):
+            return dict(use_global_attention=False)
+        if level not in tuple(setting.get("global_attention_layer_index", ())):
+            return dict(use_global_attention=False)
+        return dict(
+            use_global_attention=True,
+            global_attention_bn=bool(setting.get("attention_bn", True)),
+            global_attention_last_activation=bool(setting.get("last_activation", True)),
+        )
+
+    def _build_sa_ladder(
+        self, arch, include_t, include_class_condition, include_global_feature,
+        additional_fea_dim, attention_setting, global_attention_setting, name,
+    ) -> Sequence[SetAbstraction]:
+        hp = self.hp
+        npoint = arch["npoint"]
+        radius = arch["radius"]
+        nsample = arch["nsample"]
+        feature_dim = arch["feature_dim"]
+        mlp_depth = arch["mlp_depth"]
+        neighbor_def = arch["neighbor_definition"]
+        if not isinstance(neighbor_def, (list, tuple)):
+            neighbor_def = (neighbor_def,) * len(radius)
+        mods = []
+        for i in range(len(npoint)):
+            mlp_spec = [feature_dim[i]] * mlp_depth + [feature_dim[i + 1]]
+            first_conv = bool(hp["bn_first"]) and i == 0
+            fc_feats = None
+            if first_conv:
+                f0 = mlp_spec[0]
+                if additional_fea_dim is not None:
+                    f0 += additional_fea_dim[i]
+                fc_feats = f0
+            if include_global_feature:
+                include_condition = True
+                include_second = include_class_condition
+            else:
+                include_condition = include_class_condition
+                include_second = False
+            mods.append(
+                SetAbstraction(
+                    npoint=int(npoint[i]),
+                    radius=float(radius[i]),
+                    nsample=int(nsample[i]),
+                    mlp=tuple(mlp_spec[1:]),
+                    include_t=include_t,
+                    include_condition=include_condition,
+                    include_second_condition=include_second,
+                    use_xyz=bool(hp["model.use_xyz"]),
+                    include_abs_coordinate=bool(hp["include_abs_coordinate"]),
+                    include_center_coordinate=bool(hp.get("include_center_coordinate", False)),
+                    bn=bool(hp.get("bn", True)),
+                    bn_first=bool(hp["bn_first"]),
+                    bias=bool(hp["bias"]),
+                    res_connect=bool(hp["res_connect"]),
+                    first_conv_features=fc_feats,
+                    neighbor_def=neighbor_def[i],
+                    activation=hp.get("activation", "relu"),
+                    name=f"{name}_{i}",
+                    **self._att(attention_setting),
+                    **self._global_att(global_attention_setting, i),
+                )
+            )
+        return mods
+
+    def _build_fp_ladder(
+        self, arch, include_t, include_class_condition, include_global_feature,
+        additional_fea_dim, attention_setting, global_attention_setting, name,
+    ):
+        hp = self.hp
+        decoder_feature_dim = arch["decoder_feature_dim"]
+        decoder_mlp_depth = arch["decoder_mlp_depth"]
+        use_knn_FP = bool(arch.get("use_knn_FP", False))
+        K = int(arch.get("K", 3))
+        include_grouper = bool(arch.get("include_grouper", False))
+        radius = arch["radius"]
+        nsample = arch["nsample"]
+        neighbor_def = arch["neighbor_definition"]
+        if not isinstance(neighbor_def, (list, tuple)):
+            neighbor_def = (neighbor_def,) * len(radius)
+        if include_global_feature:
+            include_condition = True
+            include_second = include_class_condition
+        else:
+            include_condition = include_class_condition
+            include_second = False
+        mods = []
+        for i in range(len(decoder_feature_dim) - 1):
+            common = dict(
+                include_t=include_t,
+                bn=bool(hp.get("bn", True)),
+                bn_first=bool(hp["bn_first"]),
+                bias=bool(hp["bias"]),
+                res_connect=bool(hp["res_connect"]),
+                include_grouper=include_grouper,
+                radius=float(radius[i]),
+                nsample=int(nsample[i]),
+                use_xyz=bool(hp["model.use_xyz"]),
+                include_abs_coordinate=bool(hp["include_abs_coordinate"]),
+                include_center_coordinate=bool(hp.get("include_center_coordinate", False)),
+                neighbor_def=neighbor_def[i],
+                activation=hp.get("activation", "relu"),
+                name=f"{name}_{i}",
+            )
+            if use_knn_FP:
+                mods.append(
+                    KnnFeaturePropagation(
+                        mlp1=tuple([decoder_feature_dim[i]] * decoder_mlp_depth),
+                        mlp2=tuple([decoder_feature_dim[i]] * decoder_mlp_depth),
+                        k=K,
+                        include_condition=include_condition,
+                        include_second_condition=include_second,
+                        **self._att(attention_setting),
+                        **self._global_att(global_attention_setting, i),
+                        **common,
+                    )
+                )
+            else:
+                mods.append(
+                    FeaturePropagation(
+                        mlp=tuple([decoder_feature_dim[i]] * decoder_mlp_depth),
+                        include_condition=include_condition,
+                        include_second_condition=include_second,
+                        **common,
+                    )
+                )
+        return mods
+
+    def _build_ft_modules(self, mapper_arch, dims, depth, radii, nsamples,
+                          first_conv_in_first, name):
+        hp = self.hp
+        fm_att = None
+        att = hp.get("attention_setting", None)
+        if att is not None:
+            fm_att = dict(att)
+            fm_att["use_attention_module"] = bool(
+                att.get("add_attention_to_FeatureMapper_module", False)
+            )
+        mods = []
+        for i in range(len(dims)):
+            fc_feats = None
+            if i == 0 and first_conv_in_first and bool(hp["bn_first"]):
+                fc_feats = int(dims[i])  # reference: in_dim = feature_dim_condition[0]
+            mods.append(
+                FeatureTransfer(
+                    mlp=tuple([dims[i]] * depth),
+                    radius=float(radii[i]),
+                    k=int(nsamples[i]),
+                    use_xyz=bool(hp["model.use_xyz"]),
+                    include_abs_coordinate=bool(hp["include_abs_coordinate"]),
+                    include_center_coordinate=bool(hp.get("include_center_coordinate", False)),
+                    bn=bool(hp.get("bn", True)),
+                    bn_first=bool(hp["bn_first"]),
+                    bias=bool(hp["bias"]),
+                    res_connect=bool(hp["res_connect"]),
+                    first_conv_features=fc_feats,
+                    neighbor_def=mapper_arch["neighbor_definition"],
+                    activation=hp.get("activation", "relu"),
+                    name=f"{name}_{i}",
+                    **self._att(fm_att),
+                )
+            )
+        return mods
+
+    # ---- module construction -------------------------------------------
+    def setup(self):
+        hp = self.hp
+        self.include_t = bool(hp["include_t"])
+        self.t_dim = int(hp["t_dim"])
+        self.include_class_condition = bool(hp.get("include_class_condition", False))
+        self.include_local_feature = bool(hp.get("include_local_feature", True))
+        self.include_global_feature = bool(hp.get("include_global_feature", False))
+        self.concat_partial = bool(hp.get("concate_partial_with_noisy_input", False))
+        if self.concat_partial:
+            assert not self.include_local_feature and not self.include_global_feature
+        self.attach_position = bool(hp["attach_position_to_input_feature"])
+        self.pooling = hp.get("pooling", "max")
+        self.activation_name = hp.get("activation", "relu")
+        self.use_position_encoding = bool(hp.get("use_position_encoding", False))
+        self.pos_multires = int(hp.get("position_encoding_multires", 10))
+        self.scale_factor = 1.0
+
+        att = hp.get("attention_setting", None)
+        g_att = hp.get("global_attention_setting", None)
+
+        if self.include_class_condition:
+            self.class_emb = nn.Embed(
+                int(hp["num_class"]), int(hp["class_condition_dim"])
+            )
+        if self.include_t:
+            self.fc_t1 = nn.Dense(4 * self.t_dim)
+            self.fc_t2 = nn.Dense(4 * self.t_dim)
+
+        if self.include_global_feature:
+            pnet_arch = hp["pnet_global_feature_architecture"]
+            self.global_pnet = Pnet2Stage(
+                tuple(pnet_arch[0]),
+                tuple(pnet_arch[1]),
+                bn=bool(hp.get("bn", True)),
+                remove_last_activation=bool(
+                    hp.get("global_feature_remove_last_activation", True)
+                ),
+            )
+
+        arch = hp["architecture"]
+        mapper = hp.get("feature_mapper_architecture", None)
+
+        if self.include_local_feature:
+            cond_arch = hp["condition_net_architecture"]
+            self.sa_condition = self._build_sa_ladder(
+                cond_arch, False, False, False, None, att, None, "sa_cond"
+            )
+            self.fp_condition = self._build_fp_ladder(
+                cond_arch, False, False, False, None, att, None, "fp_cond"
+            )
+            enc_dims = mapper["encoder_feature_map_dim"]
+            self.encoder_feature_map = self._build_ft_modules(
+                mapper, enc_dims, int(mapper["encoder_mlp_depth"]),
+                mapper["encoder_radius"], mapper["encoder_nsample"], True, "enc_map",
+            )
+            dec_dims = mapper["decoder_feature_map_dim"]
+            self.decoder_feature_map = self._build_ft_modules(
+                mapper, dec_dims, int(mapper["decoder_mlp_depth"]),
+                mapper["decoder_radius"], mapper["decoder_nsample"], False, "dec_map",
+            )
+            additional_enc = tuple(enc_dims)
+            additional_dec = tuple(dec_dims[1:])
+        else:
+            additional_enc = None
+            additional_dec = None
+
+        self.sa = self._build_sa_ladder(
+            arch, self.include_t, self.include_class_condition,
+            self.include_global_feature, additional_enc, att, g_att, "sa",
+        )
+        self.fp = self._build_fp_ladder(
+            arch, self.include_t, self.include_class_condition,
+            self.include_global_feature, additional_dec, att, g_att, "fp",
+        )
+
+        # output head (pointnet2_with_pcld_condition.py:238-267)
+        out_dim = int(hp["out_dim"])
+        puf = int(hp.get("point_upsample_factor", 1))
+        if puf > 1:
+            if bool(hp.get("include_displacement_center_to_final_output", False)):
+                puf = puf - 1
+            out_dim = out_dim * (puf + 1)
+        self.out_dim = out_dim
+        self.head_bn_first = bool(hp["bn_first"])
+        self.head_bn = bool(hp.get("bn", True))
+        if self.head_bn_first:
+            self.head_out = nn.Dense(out_dim)
+        else:
+            self.head_mid = nn.Dense(128, use_bias=bool(hp["bias"]))
+            if self.head_bn:
+                self.head_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+            self.head_out = nn.Dense(out_dim)
+
+    # ---- pieces ---------------------------------------------------------
+    def _head(self, h):
+        act = ACTIVATIONS[self.activation_name]
+        if self.head_bn_first:
+            return self.head_out(act(h))
+        h = self.head_mid(h)
+        if self.head_bn:
+            h = self.head_norm(h)
+        h = act(h)
+        return self.head_out(h)
+
+    def _t_embedding(self, ts):
+        t_emb = calc_t_emb(ts, self.t_dim)
+        t_emb = swish(self.fc_t1(t_emb))
+        t_emb = swish(self.fc_t2(t_emb))
+        return t_emb
+
+    def _split(self, pointcloud, extra_dim_limit=None):
+        """attach_position + break-up (pointnet2_ssg_sem.py:42-45,
+        pointnet2_with_pcld_condition.py:310-339).  Returns (xyz, features)
+        with features = [extra..., xyz] channels-last."""
+        xyz = pointcloud[..., 0:3] / self.scale_factor
+        extra = pointcloud[..., 3:]
+        if extra_dim_limit is not None:
+            extra = extra[..., :extra_dim_limit]
+        parts = [extra]
+        if self.use_position_encoding:
+            parts.append(_nerf_encode(xyz, self.pos_multires))
+        if self.attach_position:
+            parts.append(xyz)
+        features = jnp.concatenate(parts, axis=-1) if parts else None
+        if features is not None and features.shape[-1] == 0:
+            features = None
+        return xyz, features
+
+    def encode_condition(self, condition) -> CondFeatures:
+        """Run the condition branch (SA + FP ladders + global PointNet) once.
+
+        condition: (B, M, 3 + partial_extra) — e.g. (B, 3072, 4) with the
+        mirror flag channel.
+        """
+        uvw, cond_features = self._split(condition)
+
+        global_feature = None
+        if self.include_global_feature:
+            # global input: [uvw, raw extra features] (NOT the attached copy)
+            extra = condition[..., 3:]
+            global_input = jnp.concatenate([uvw, extra], axis=-1)
+            global_feature = self.global_pnet(global_input)
+
+        l_uvw, l_feats = [uvw], [cond_features]
+        if self.include_local_feature:
+            for i in range(len(self.sa_condition)):
+                ui, fi = self.sa_condition[i](
+                    l_uvw[i], l_feats[i], pooling=self.pooling
+                )
+                l_uvw.append(ui)
+                l_feats.append(fi)
+            encoder_feats = tuple(l_feats)
+            feats = list(l_feats)
+            n = len(self.fp_condition)
+            for i in range(-1, -(n + 1), -1):
+                feats[i - 1] = self.fp_condition[i](
+                    l_uvw[i - 1], l_uvw[i], feats[i - 1], feats[i],
+                    pooling=self.pooling,
+                )
+            decoder_feats = tuple(feats)
+        else:
+            encoder_feats = tuple(l_feats)
+            decoder_feats = tuple(l_feats)
+        return CondFeatures(
+            l_uvw=tuple(l_uvw),
+            encoder_feats=encoder_feats,
+            decoder_feats=decoder_feats,
+            global_feature=global_feature,
+        )
+
+    def denoise(self, pointcloud, ts=None, label=None, cond: Optional[CondFeatures] = None):
+        """The x_t branch given precomputed condition features.
+
+        pointcloud: (B, N, 3); ts: (B,) float; label: (B,) int.
+        Returns (B, N, out_dim).
+        """
+        xyz, features = self._split(pointcloud)
+
+        t_emb = None
+        if ts is not None and self.include_t:
+            t_emb = self._t_embedding(ts)
+
+        class_emb = None
+        if label is not None and self.include_class_condition:
+            class_emb = self.class_emb(label)
+
+        if self.include_global_feature:
+            condition_emb = cond.global_feature
+            second_condition_emb = class_emb if self.include_class_condition else None
+        else:
+            condition_emb = class_emb if self.include_class_condition else None
+            second_condition_emb = None
+
+        l_xyz, l_features = [xyz], [features]
+        for i in range(len(self.sa)):
+            if self.include_local_feature:
+                mapped = self.encoder_feature_map[i](
+                    cond.l_uvw[i], cond.encoder_feats[i], l_xyz[i],
+                    query_feats=l_features[i], subset=False, pooling=self.pooling,
+                )
+                input_feature = jnp.concatenate([mapped, l_features[i]], axis=-1)
+            else:
+                input_feature = l_features[i]
+            xi, fi = self.sa[i](
+                l_xyz[i], input_feature, t_emb=t_emb,
+                condition_emb=condition_emb,
+                second_condition_emb=second_condition_emb,
+                pooling=self.pooling,
+            )
+            l_xyz.append(xi)
+            l_features.append(fi)
+
+        n = len(self.fp)
+        for i in range(-1, -(n + 1), -1):
+            if self.include_local_feature:
+                mapped = self.decoder_feature_map[i](
+                    cond.l_uvw[i], cond.decoder_feats[i], l_xyz[i],
+                    query_feats=l_features[i], subset=False, pooling=self.pooling,
+                )
+                input_feature = jnp.concatenate([mapped, l_features[i]], axis=-1)
+            else:
+                input_feature = l_features[i]
+            l_features[i - 1] = self.fp[i](
+                l_xyz[i - 1], l_xyz[i], l_features[i - 1], input_feature,
+                t_emb=t_emb, condition_emb=condition_emb,
+                second_condition_emb=second_condition_emb, pooling=self.pooling,
+            )
+
+        if self.include_local_feature:
+            mapped = self.decoder_feature_map[0](
+                cond.l_uvw[0], cond.decoder_feats[0], l_xyz[0],
+                query_feats=l_features[0], subset=False, pooling=self.pooling,
+            )
+            out_feature = jnp.concatenate([mapped, l_features[0]], axis=-1)
+        else:
+            out_feature = l_features[0]
+
+        out_feature = jnp.concatenate([out_feature, xyz], axis=-1)
+        return self._head(out_feature)
+
+    def __call__(self, pointcloud, condition=None, ts=None, label=None):
+        """Training-path forward = encode_condition + denoise.
+
+        Mirrors PointNet2CloudCondition.forward
+        (pointnet2_with_pcld_condition.py:276-476) without the retained-
+        feature cache (sampling uses encode_condition + denoise directly).
+        """
+        if self.include_global_feature or self.include_local_feature:
+            assert condition is not None
+
+        if self.concat_partial:
+            B1, N1, C1 = pointcloud.shape
+            assert C1 == 3
+            pc = jnp.concatenate(
+                [pointcloud, jnp.zeros((B1, N1, 1), pointcloud.dtype)], axis=2
+            )
+            cnd = condition
+            if cnd.shape[-1] == 3:
+                cnd = jnp.concatenate(
+                    [cnd, jnp.ones(cnd.shape[:2] + (1,), cnd.dtype)], axis=2
+                )
+            merged = jnp.concatenate([pc, cnd], axis=1)
+            out = self.denoise(merged, ts=ts, label=label, cond=None)
+            return out[:, :N1, :]
+
+        cond = self.encode_condition(condition) if condition is not None else None
+        return self.denoise(pointcloud, ts=ts, label=label, cond=cond)

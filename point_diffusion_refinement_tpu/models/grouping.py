@@ -1,0 +1,117 @@
+"""Grouping feature assembly: QueryAndGroup and group_knn, channels-last.
+
+Reference: pointnet2_ops/pointnet2_utils.py:307-514.  These are pure
+functions (no parameters) so they live outside Flax modules; static shapes
+throughout — variable neighbor counts are carried as a (B, M) count tensor
+plus repeat-first / zero-feature padding, exactly as the CUDA path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.neighbors import ball_query, knn
+from ..ops.sampling import group_points
+
+Counts = Union[jax.Array, str]  # (B, M) int32, or 'all' for kNN groups
+
+
+class Grouped(NamedTuple):
+    features: jax.Array  # (B, M, K, C_total)
+    counts: Counts
+
+
+def query_and_group(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    features: Optional[jax.Array],
+    *,
+    radius: float,
+    nsample: int,
+    neighbor_def: str = "radius",
+    use_xyz: bool = True,
+    include_abs_coordinate: bool = False,
+    include_center_coordinate: bool = False,
+    subset: bool = True,
+) -> Grouped:
+    """Ball-query or kNN grouping with positional channels.
+
+    Output channel order matches QueryAndGroup.forward
+    (pointnet2_utils.py:332-438): [features, relative_xyz, abs_xyz?,
+    center_xyz?].  With subset=False and radius neighbors, centers with empty
+    balls substitute themselves as the single neighbor with zero features
+    (pointnet2_utils.py:376-410).
+
+    Args:
+      xyz: (B, N, 3) support points; new_xyz: (B, M, 3) centers;
+      features: (B, N, C) or None.
+    """
+    if neighbor_def == "radius":
+        idx, counts_arr = ball_query(xyz, new_xyz, radius, nsample)
+        counts: Counts = counts_arr
+    elif neighbor_def == "nn":
+        k = min(nsample, xyz.shape[1])
+        _, idx = knn(new_xyz, xyz, k)
+        counts = "all"
+    else:
+        raise ValueError(f"Neighbor definition {neighbor_def} is not supported")
+
+    abs_xyz = group_points(xyz, idx)  # (B, M, K, 3)
+    center = new_xyz[:, :, None, :]  # (B, M, 1, 3)
+    if (not subset) and neighbor_def == "radius":
+        have = (counts_arr > 0).astype(abs_xyz.dtype)[..., None, None]  # (B,M,1,1)
+        abs_xyz = have * abs_xyz + (1.0 - have) * center
+        relative = abs_xyz - center
+    else:
+        relative = abs_xyz - center
+
+    parts = []
+    grouped_xyz = relative
+    if include_abs_coordinate:
+        grouped_xyz = jnp.concatenate([relative, abs_xyz], axis=-1)
+    if include_center_coordinate:
+        c = jnp.broadcast_to(center, abs_xyz.shape)
+        grouped_xyz = jnp.concatenate([grouped_xyz, c], axis=-1)
+
+    if features is not None:
+        grouped_features = group_points(features, idx)  # (B, M, K, C)
+        if not subset and neighbor_def == "radius":
+            grouped_features = have * grouped_features  # zero-feature default
+        if use_xyz:
+            parts = [grouped_features, grouped_xyz]
+        else:
+            parts = [grouped_features]
+    else:
+        assert use_xyz, "Cannot have no features and not use xyz as a feature!"
+        parts = [grouped_xyz]
+
+    return Grouped(jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0], counts)
+
+
+def group_knn_features(
+    x: jax.Array, y: jax.Array, features_at_y: jax.Array, k: int
+) -> jax.Array:
+    """kNN gather producing the (C+11)-channel features of group_knn
+    (pointnet2_utils.py:487-514).
+
+    Channel order: [neighbor_feats (C), squared_dist (1), inv-dist weight (1),
+    abs neighbor pos (3), relative pos (3), query pos (3)].
+
+    Args:
+      x: (B, N1, 3) queries; y: (B, N2, 3) support; features_at_y: (B, N2, C).
+
+    Returns:
+      (B, N1, K, C+11).
+    """
+    dist, idx = knn(x, y, k)  # squared distances, like pytorch3d knn_points
+    neigh_feats = group_points(features_at_y, idx)  # (B, N1, K, C)
+    nn_abs = group_points(y, idx)  # (B, N1, K, 3)
+    x_rep = jnp.broadcast_to(x[:, :, None, :], nn_abs.shape)
+    nn_rel = nn_abs - x_rep
+    d = dist[..., None]  # (B, N1, K, 1)
+    recip = 1.0 / (d + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-2, keepdims=True)
+    return jnp.concatenate([neigh_feats, d, weight, nn_abs, nn_rel, x_rep], axis=-1)

@@ -1,0 +1,418 @@
+"""PointNet++ network modules: set abstraction, feature propagation (3-NN and
+kNN variants), and the feature-transfer (FT) module.
+
+Reference: pointnet2_ops/pointnet2_modules.py:210-839.  All modules are
+channels-last Flax modules whose input widths are inferred lazily, so the
+reference's channel-arithmetic (mlp_spec[0] += 3 etc.) disappears — only the
+output widths come from the config.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.interpolate import inverse_distance_weights, three_interpolate, three_nn
+from ..ops.sampling import furthest_point_sample, gather_points
+from .attention import AttentionPool, GlobalSelfAttention
+from .common import ConditionedMLP, pool_features
+from .grouping import group_knn_features, query_and_group
+
+
+class SetAbstraction(nn.Module):
+    """FPS -> ball-query/kNN grouping -> conditioned MLP -> attention pool or
+    max/avg pool; optional global self-attention over the downsampled set.
+
+    Reference: _PointnetSAModuleBase.forward (pointnet2_modules.py:220-280)
+    with the single-scale PointnetSAModule wiring (:396-442).
+    """
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]  # reference mlp_spec[1:]
+    include_t: bool = False
+    include_condition: bool = False
+    include_second_condition: bool = False
+    use_xyz: bool = True
+    include_abs_coordinate: bool = False
+    include_center_coordinate: bool = False
+    bn: bool = True
+    bn_first: bool = False
+    bias: bool = False
+    res_connect: bool = False
+    first_conv_features: Optional[int] = None
+    neighbor_def: str = "radius"
+    activation: str = "relu"
+    use_attention: bool = False
+    attention_bn: bool = True
+    attention_transform_out: bool = True
+    attention_last_activation: bool = True
+    use_global_attention: bool = False
+    global_attention_bn: bool = True
+    global_attention_last_activation: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz,
+        features,
+        t_emb=None,
+        condition_emb=None,
+        second_condition_emb=None,
+        pooling: str = "max",
+    ):
+        fps_idx = furthest_point_sample(xyz, self.npoint)
+        new_xyz = gather_points(xyz, fps_idx)  # (B, npoint, 3)
+
+        grouped, counts = query_and_group(
+            xyz,
+            new_xyz,
+            features,
+            radius=self.radius,
+            nsample=self.nsample,
+            neighbor_def=self.neighbor_def,
+            use_xyz=self.use_xyz,
+            include_abs_coordinate=self.include_abs_coordinate,
+            include_center_coordinate=self.include_center_coordinate,
+            subset=True,
+        )
+        out = ConditionedMLP(
+            tuple(self.mlp),
+            include_t=self.include_t,
+            include_condition=self.include_condition,
+            include_second_condition=self.include_second_condition,
+            bn=self.bn,
+            bn_first=self.bn_first,
+            bias=self.bias,
+            first_conv_features=self.first_conv_features,
+            res_connect=self.res_connect,
+            activation=self.activation,
+        )(
+            grouped,
+            t_emb=t_emb if self.include_t else None,
+            condition_emb=condition_emb if self.include_condition else None,
+            second_condition_emb=(
+                second_condition_emb if self.include_second_condition else None
+            ),
+        )
+        if self.use_attention:
+            query = gather_points(features, fps_idx)  # features at new_xyz
+            new_features = AttentionPool(
+                self.mlp[-1],
+                attention_bn=self.attention_bn,
+                transform_grouped_feat_out=self.attention_transform_out,
+                last_activation=self.attention_last_activation,
+            )(query, grouped, out, counts)
+        else:
+            new_features = pool_features(out, counts, pooling)
+
+        if self.use_global_attention:
+            cat = jnp.concatenate([new_features, new_xyz], axis=-1)
+            new_features = GlobalSelfAttention(
+                self.mlp[-1],
+                attention_bn=self.global_attention_bn,
+                last_activation=self.global_attention_last_activation,
+            )(cat)
+        return new_xyz, new_features
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN inverse-distance interpolation + skip concat + conditioned MLP.
+
+    Reference: PointnetFPModule (pointnet2_modules.py:445-576).
+    """
+
+    mlp: Sequence[int]
+    include_t: bool = False
+    include_condition: bool = False
+    include_second_condition: bool = False
+    bn: bool = True
+    bn_first: bool = False
+    bias: bool = False
+    res_connect: bool = False
+    first_conv_features: Optional[int] = None
+    include_grouper: bool = False
+    radius: float = 0.0
+    nsample: int = 32
+    use_xyz: bool = True
+    include_abs_coordinate: bool = True
+    include_center_coordinate: bool = False
+    neighbor_def: str = "radius"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown,
+        known,
+        unknown_feats,
+        known_feats,
+        t_emb=None,
+        condition_emb=None,
+        second_condition_emb=None,
+        pooling: str = "max",
+    ):
+        if known is not None:
+            dist, idx = three_nn(unknown, known)
+            weight = inverse_distance_weights(dist)
+            interpolated = three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+
+        counts = None
+        if self.include_grouper:
+            grouped, counts = query_and_group(
+                unknown,
+                unknown,
+                new_features,
+                radius=self.radius,
+                nsample=self.nsample,
+                neighbor_def=self.neighbor_def,
+                use_xyz=self.use_xyz,
+                include_abs_coordinate=self.include_abs_coordinate,
+                include_center_coordinate=self.include_center_coordinate,
+                subset=True,
+            )
+            h = grouped
+        else:
+            h = new_features[:, :, None, :]  # K = 1
+
+        h = ConditionedMLP(
+            tuple(self.mlp),
+            include_t=self.include_t,
+            include_condition=self.include_condition,
+            include_second_condition=self.include_second_condition,
+            bn=self.bn,
+            bn_first=self.bn_first,
+            bias=self.bias,
+            first_conv_features=self.first_conv_features,
+            res_connect=self.res_connect,
+            activation=self.activation,
+        )(
+            h,
+            t_emb=t_emb if self.include_t else None,
+            condition_emb=condition_emb if self.include_condition else None,
+            second_condition_emb=(
+                second_condition_emb if self.include_second_condition else None
+            ),
+        )
+        if self.include_grouper:
+            return pool_features(h, counts, pooling)
+        return h[:, :, 0, :]
+
+
+class KnnFeaturePropagation(nn.Module):
+    """kNN-based feature propagation — the FP variant the shipped configs use
+    (use_knn_FP: true, K: 8).
+
+    Reference: PointnetKnnFPModule (pointnet2_modules.py:652-839):
+    group_knn (+11 pos/dist channels) -> mlp1 (+class condition) -> attention
+    (query = skip features) or pool -> concat skip + xyz -> mlp2 (+t, +global
+    condition) -> optional global self-attention.
+    """
+
+    mlp1: Sequence[int]
+    mlp2: Sequence[int]
+    k: int
+    include_t: bool = False
+    include_condition: bool = False  # global-feature condition, into mlp2
+    include_second_condition: bool = False  # class condition, into mlp1
+    bn: bool = True
+    bn_first: bool = False
+    bias: bool = False
+    res_connect: bool = False
+    include_grouper: bool = False
+    radius: float = 0.0
+    nsample: int = 32
+    use_xyz: bool = True
+    include_abs_coordinate: bool = True
+    include_center_coordinate: bool = False
+    neighbor_def: str = "radius"
+    activation: str = "relu"
+    use_attention: bool = False
+    attention_bn: bool = True
+    attention_transform_out: bool = True
+    attention_last_activation: bool = True
+    use_global_attention: bool = False
+    global_attention_bn: bool = True
+    global_attention_last_activation: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        unknown,
+        known,
+        unknown_feats,
+        known_feats,
+        t_emb=None,
+        condition_emb=None,
+        second_condition_emb=None,
+        pooling: str = "max",
+    ):
+        if self.use_attention or self.use_global_attention:
+            assert known is not None and unknown is not None
+            if self.use_global_attention:
+                assert not self.include_grouper
+
+        if known is not None:
+            k = min(self.k, known.shape[1])
+            grouped = group_knn_features(unknown, known, known_feats, k)
+            out1 = ConditionedMLP(
+                tuple(self.mlp1),
+                include_t=False,
+                include_condition=self.include_second_condition,
+                bn=self.bn,
+                bn_first=self.bn_first,
+                bias=self.bias,
+                res_connect=self.res_connect,
+                activation=self.activation,
+            )(
+                grouped,
+                condition_emb=(
+                    second_condition_emb if self.include_second_condition else None
+                ),
+            )
+            if self.use_attention:
+                interpolated = AttentionPool(
+                    self.mlp1[-1],
+                    attention_bn=self.attention_bn,
+                    transform_grouped_feat_out=self.attention_transform_out,
+                    last_activation=self.attention_last_activation,
+                )(unknown_feats, grouped, out1, "all")
+            else:
+                interpolated = pool_features(out1, "all", pooling)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+
+        counts = None
+        if self.include_grouper:
+            grouped2, counts = query_and_group(
+                unknown,
+                unknown,
+                new_features,
+                radius=self.radius,
+                nsample=self.nsample,
+                neighbor_def=self.neighbor_def,
+                use_xyz=self.use_xyz,
+                include_abs_coordinate=self.include_abs_coordinate,
+                include_center_coordinate=self.include_center_coordinate,
+                subset=True,
+            )
+            h = grouped2
+        else:
+            new_features = jnp.concatenate([new_features, unknown], axis=-1)
+            h = new_features[:, :, None, :]
+
+        h = ConditionedMLP(
+            tuple(self.mlp2),
+            include_t=self.include_t,
+            include_condition=self.include_condition,
+            bn=self.bn,
+            bn_first=self.bn_first,
+            bias=self.bias,
+            res_connect=self.res_connect,
+            activation=self.activation,
+        )(
+            h,
+            t_emb=t_emb if self.include_t else None,
+            condition_emb=condition_emb if self.include_condition else None,
+        )
+        if self.include_grouper:
+            return pool_features(h, counts, pooling)
+        h = h[:, :, 0, :]
+        if self.use_global_attention:
+            cat = jnp.concatenate([h, unknown], axis=-1)
+            h = GlobalSelfAttention(
+                self.mlp2[-1],
+                attention_bn=self.global_attention_bn,
+                last_activation=self.global_attention_last_activation,
+            )(cat)
+        return h
+
+
+class FeatureTransfer(nn.Module):
+    """Feature Transfer (FT) module: map condition-branch features onto the
+    noisy-branch positions.
+
+    Reference: FeatureMapModule (pointnet2_modules.py:579-649): QueryAndGroup
+    with subset=False (self-substitute + zero features for empty balls) ->
+    MLP -> attention pool with query = features already at the target points.
+    """
+
+    mlp: Sequence[int]
+    radius: float
+    k: int
+    use_xyz: bool = True
+    include_abs_coordinate: bool = True
+    include_center_coordinate: bool = False
+    bn: bool = True
+    bn_first: bool = True
+    bias: bool = True
+    res_connect: bool = True
+    first_conv_features: Optional[int] = None
+    neighbor_def: str = "radius"
+    activation: str = "relu"
+    use_attention: bool = False
+    attention_bn: bool = True
+    attention_transform_out: bool = True
+    attention_last_activation: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz,
+        features,
+        new_xyz,
+        query_feats=None,
+        subset: bool = False,
+        pooling: str = "max",
+    ):
+        grouped, counts = query_and_group(
+            xyz,
+            new_xyz,
+            features,
+            radius=self.radius,
+            nsample=self.k,
+            neighbor_def=self.neighbor_def,
+            use_xyz=self.use_xyz,
+            include_abs_coordinate=self.include_abs_coordinate,
+            include_center_coordinate=self.include_center_coordinate,
+            subset=subset,
+        )
+        out = ConditionedMLP(
+            tuple(self.mlp),
+            include_t=False,
+            include_condition=False,
+            bn=self.bn,
+            bn_first=self.bn_first,
+            bias=self.bias,
+            first_conv_features=self.first_conv_features,
+            res_connect=self.res_connect,
+            activation=self.activation,
+        )(grouped)
+        if self.use_attention:
+            assert query_feats is not None
+            return AttentionPool(
+                self.mlp[-1],
+                attention_bn=self.attention_bn,
+                transform_grouped_feat_out=self.attention_transform_out,
+                last_activation=self.attention_last_activation,
+            )(query_feats, grouped, out, counts)
+        return pool_features(out, counts, pooling)
