@@ -1,0 +1,78 @@
+"""North-star benchmark: coarse-completion generation throughput at T=1000.
+
+Reference baseline (BASELINE.md): the full MVP test set (41,600 completions,
+T=1000, batch 32/GPU) took ~21 h on 8x RTX 2080 Ti => 0.069 completions/sec
+per chip.  We time the full 1000-step reverse scan (condition encoding
+included) of the shipped MVP model config on one chip and report
+completions/sec/chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_COMPLETIONS_PER_SEC_PER_CHIP = 0.069  # BASELINE.md derived
+T = int(os.environ.get("PDR_BENCH_T", "1000"))
+BATCH = int(os.environ.get("PDR_BENCH_BATCH", "16"))
+REPEATS = int(os.environ.get("PDR_BENCH_REPEATS", "1"))
+
+
+def main():
+    from point_diffusion_refinement_tpu import diffusion
+    from point_diffusion_refinement_tpu.config import DEFAULT_POINTNET_CONFIG
+    from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
+    from point_diffusion_refinement_tpu.sample import make_coarse_sampler
+
+    model = PointNet2CloudCondition.from_config(dict(DEFAULT_POINTNET_CONFIG))
+    rng = np.random.default_rng(0)
+    B = BATCH
+    x = jnp.asarray(rng.uniform(-1, 1, (B, 2048, 3)).astype(np.float32))
+    cond = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-0.5, 0.5, (B, 3072, 3)),
+                rng.integers(0, 2, (B, 3072, 1)) * 2.0 - 1.0,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    label = jnp.zeros((B,), jnp.int32)
+    ts = jnp.zeros((B,), jnp.float32)
+    params = model.init(jax.random.key(0), x, cond, ts, label)
+
+    schedule = diffusion.calc_diffusion_hyperparams(T, 1e-4, 0.02)
+    sampler = jax.jit(make_coarse_sampler(model, schedule, num_points=2048))
+
+    # compile + warmup
+    out = sampler(params, jax.random.key(1), cond, label)
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        out = sampler(params, jax.random.key(2 + i), cond, label)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    completions_per_sec = B / dt
+    # normalize to the reference's T=1000 step count if benching a shorter T
+    norm = completions_per_sec * (T / 1000.0)
+    result = {
+        "metric": "mvp_coarse_completions_per_sec_per_chip_T1000",
+        "value": round(norm, 4),
+        "unit": "completions/s/chip",
+        "vs_baseline": round(norm / BASELINE_COMPLETIONS_PER_SEC_PER_CHIP, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from .generate import make_coarse_sampler, make_refiner, unaugment
+
+__all__ = ["make_coarse_sampler", "make_refiner", "unaugment"]
+from .evaluate import evaluate, EvalResult
+__all__ += ["evaluate", "EvalResult"]

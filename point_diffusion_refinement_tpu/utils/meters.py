@@ -1,0 +1,23 @@
+"""Running-average meter (reference: util.py:7-25)."""
+
+from __future__ import annotations
+
+
+class AverageMeter:
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1, summary_writer=None, global_step=None):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+        if summary_writer is not None:
+            summary_writer.add_scalar(self.name, val, global_step=global_step)

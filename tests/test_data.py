@@ -1,0 +1,155 @@
+"""Data layer tests: augmentation invertibility, mirror preprocessing, and
+the MVP h5 loading path against synthetic reference-layout files."""
+
+import numpy as np
+import pytest
+
+from point_diffusion_refinement_tpu.data import (
+    MVPDataset,
+    MVPDatasetConfig,
+    VIEWS_PER_SHAPE,
+    augment_cloud,
+    iterate_batches,
+    mirror_and_concat,
+    write_mvp_style_h5,
+)
+
+
+class TestAugment:
+    def test_shared_transform_across_clouds(self, rng_np):
+        args = {
+            "pc_augm_scale": 1.2,
+            "pc_augm_rot": True,
+            "pc_rot_scale": 90,
+            "pc_augm_mirror_prob": 0.5,
+            "pc_augm_jitter": False,
+            "translation_magnitude": 0.1,
+        }
+        a = rng_np.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+        b = a.copy()
+        (a2, b2), params = augment_cloud(
+            [a, b], args, return_augmentation_params=True,
+            rng=np.random.default_rng(0),
+        )
+        np.testing.assert_allclose(a2, b2)  # same M and translation for both
+        # un-augment recovers the original
+        rec = (a2 - params["translation"]) @ params["M_inv"]
+        np.testing.assert_allclose(rec, a, atol=1e-5)
+
+    def test_mirror_flag_channel_untouched(self, rng_np):
+        args = {"pc_augm_scale": 1.2, "pc_augm_rot": True, "pc_rot_scale": 90,
+                "pc_augm_mirror_prob": 0.5, "pc_augm_jitter": False}
+        cloud = np.concatenate(
+            [rng_np.uniform(-0.5, 0.5, (32, 3)), np.sign(rng_np.standard_normal((32, 1)))],
+            axis=1,
+        ).astype(np.float32)
+        (out,) = augment_cloud([cloud], args, rng=np.random.default_rng(1))
+        np.testing.assert_array_equal(out[:, 3], cloud[:, 3])
+
+    def test_rotation_is_about_y(self):
+        args = {"pc_augm_scale": 0, "pc_augm_rot": True, "pc_rot_scale": 180,
+                "pc_augm_mirror_prob": 0, "pc_augm_jitter": False}
+        cloud = np.array([[0.3, 0.7, -0.1]], dtype=np.float32)
+        (out,) = augment_cloud([cloud], args, rng=np.random.default_rng(2))
+        assert out[0, 1] == pytest.approx(0.7, abs=1e-6)  # y preserved
+
+
+class TestMirror:
+    def test_mirror_and_concat(self, rng_np):
+        import jax.numpy as jnp
+
+        partial = jnp.asarray(
+            rng_np.uniform(-0.5, 0.5, (2, 64, 3)).astype(np.float32)
+        )
+        out = np.asarray(mirror_and_concat(partial, 48))
+        assert out.shape == (2, 48, 4)
+        assert set(np.unique(out[..., 3])) <= {-1.0, 1.0}
+        # mirrored points must be reflections: for flag=-1 points, their
+        # (x, y, -z) must appear in the original cloud
+        orig = np.asarray(partial[0])
+        for p in out[0]:
+            q = p[:3].copy()
+            if p[3] < 0:
+                q[2] = -q[2]
+            d = np.abs(orig - q).sum(axis=1).min()
+            assert d < 1e-5
+
+
+@pytest.fixture(scope="module")
+def mvp_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mvp_data")
+    return write_mvp_style_h5(str(d), num_shapes=4, npoints=128, partial_points=96)
+
+
+class TestMVPDataset:
+    def test_basic_pairing(self, mvp_dir):
+        ds = MVPDataset(MVPDatasetConfig(data_dir=mvp_dir, train=True, npoints=128))
+        assert len(ds) == 6 * VIEWS_PER_SHAPE  # 4 + 2 novel shapes
+        item = ds[27]
+        assert item["partial"].shape == (96, 3)
+        assert item["complete"].shape == (128, 3)
+        # item 27 belongs to gt shape 1
+        np.testing.assert_allclose(item["complete"], ds.gt_data[1])
+
+    def test_scale(self, mvp_dir):
+        ds1 = MVPDataset(MVPDatasetConfig(data_dir=mvp_dir, train=False, npoints=128, scale=1))
+        ds2 = MVPDataset(MVPDatasetConfig(data_dir=mvp_dir, train=False, npoints=128, scale=2))
+        np.testing.assert_allclose(ds2.gt_data, ds1.gt_data * 2, rtol=1e-6)
+        # scale=1 doubles the raw [-0.5, 0.5] data to [-1, 1]
+        assert np.abs(ds1.gt_data).max() <= 1.0 + 1e-5
+
+    def test_rank_sharding_partition(self, mvp_dir):
+        full = MVPDataset(MVPDatasetConfig(data_dir=mvp_dir, train=True, npoints=128))
+        shards = [
+            MVPDataset(
+                MVPDatasetConfig(
+                    data_dir=mvp_dir, train=True, npoints=128,
+                    rank=r, world_size=2, append_samples_to_last_rank=False,
+                )
+            )
+            for r in range(2)
+        ]
+        total = sum(len(s) for s in shards)
+        assert total == len(full)
+        np.testing.assert_allclose(
+            np.concatenate([shards[0].input_data, shards[1].input_data]),
+            full.input_data,
+        )
+
+    def test_last_rank_padding(self, mvp_dir):
+        # 6 gt shapes over 4 ranks -> ceil(6/4)=2 shapes/rank, last rank padded
+        last = MVPDataset(
+            MVPDatasetConfig(
+                data_dir=mvp_dir, train=True, npoints=128,
+                rank=3, world_size=4, append_samples_to_last_rank=True,
+            )
+        )
+        assert len(last) == 2 * VIEWS_PER_SHAPE
+
+    def test_random_subsample(self, mvp_dir):
+        ds = MVPDataset(
+            MVPDatasetConfig(
+                data_dir=mvp_dir, train=False, npoints=128,
+                random_subsample=True, num_samples=10,
+            )
+        )
+        assert len(ds) == 10
+        it = ds[3]  # pairing must still be consistent via partial_to_gt
+        assert it["complete"].shape == (128, 3)
+
+    def test_augmented_batches(self, mvp_dir):
+        aug = {"pc_augm_scale": 1.2, "pc_augm_rot": True, "pc_rot_scale": 90,
+               "pc_augm_mirror_prob": 0.5, "pc_augm_jitter": False,
+               "translation_magnitude": 0.1}
+        ds = MVPDataset(
+            MVPDatasetConfig(
+                data_dir=mvp_dir, train=True, npoints=128, augmentation=aug,
+                return_augmentation_params=True,
+            )
+        )
+        batch = next(iterate_batches(ds, 8, seed=0))
+        assert batch["partial"].shape == (8, 96, 3)
+        assert batch["complete"].shape == (8, 128, 3)
+        assert batch["M_inv"].shape == (8, 3, 3)
+        assert batch["translation"].shape == (8, 1, 3)
+        assert batch["label"].shape == (8,)
