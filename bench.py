@@ -46,7 +46,7 @@ def main():
     )
     label = jnp.zeros((B,), jnp.int32)
     ts = jnp.zeros((B,), jnp.float32)
-    params = model.init(jax.random.key(0), x, cond, ts, label)
+    params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
 
     schedule = diffusion.calc_diffusion_hyperparams(T, 1e-4, 0.02)
     sampler = jax.jit(make_coarse_sampler(model, schedule, num_points=2048))

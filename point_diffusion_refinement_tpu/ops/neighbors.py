@@ -76,7 +76,13 @@ def ball_query(
     # out-of-radius get 0.  top_k then yields the first-K in scan order.
     pos = jnp.arange(N, dtype=jnp.int32)
     key = jnp.where(mask, (2 * N) - pos, 0)
-    topv, topi = jax.lax.top_k(key, nsample)  # (B, M, K)
+    k_eff = min(nsample, N)  # K may exceed N (e.g. coarsest 16-point level)
+    topv, topi = jax.lax.top_k(key, k_eff)  # (B, M, k_eff)
+    if k_eff < nsample:
+        pad = jnp.broadcast_to(
+            topi[..., :1], topi.shape[:-1] + (nsample - k_eff,)
+        )
+        topi = jnp.concatenate([topi, pad], axis=-1)
     counts = jnp.sum(mask, axis=-1, dtype=jnp.int32)
     counts = jnp.minimum(counts, nsample)
     slot = jnp.arange(nsample, dtype=jnp.int32)

@@ -1,0 +1,209 @@
+"""Generation pipeline driver: checkpoint discovery, save-dir taxonomy,
+multi-trial augmented generation.
+
+Reference: pointnet2/generate_samples.py:52-267 (single process) +
+generate_samples_distributed.py (per-GPU subprocess fan-out + filesystem
+gather).  Here one process drives all chips; with multiple hosts, each host
+generates its dataset shard and results are gathered with
+`multihost_utils.process_allgather` — no per-rank h5 merging, no grepping a
+log file to discover the output directory
+(generate_samples_distributed.py:205-234).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.loader import load_config
+from ..diffusion import calc_diffusion_hyperparams, make_fast_sampling_plan
+from ..train.checkpoints import find_max_epoch, load_checkpoint, maybe_resume
+from ..train.loop import build_model, local_experiment_path, make_dataset
+from .evaluate import evaluate
+from .generate import make_coarse_sampler, make_refiner
+
+
+def generation_save_dir(
+    config: dict,
+    ckpt_iter: int,
+    *,
+    fast_sampling: bool = False,
+    fast_sampling_config: Optional[dict] = None,
+    trial_index: Optional[int] = None,
+    phase: str = "test",
+    base_dir: Optional[str] = None,
+) -> str:
+    """Reproduce the generate_samples.py:98-160 directory taxonomy:
+    <data>/generated_samples/<local_path>/ckpt_<it>[/fast_sampling/<cfg>]
+    [/trial_<i>]/<train|test>."""
+    ts = config.get("mvp_dataset_config", {})
+    base = base_dir or os.path.join(ts.get("data_dir", "data"), "generated_samples")
+    save_dir = os.path.join(base, local_experiment_path(config), f"ckpt_{ckpt_iter}")
+    if fast_sampling:
+        cfg = fast_sampling_config or {}
+        tag = "fast_sampling_config" + "".join(
+            f"_{k}_{v}" for k, v in cfg.items()
+        )
+        save_dir = os.path.join(save_dir, "fast_sampling", tag)
+    if trial_index is not None:
+        save_dir = os.path.join(save_dir, f"trial_{trial_index}")
+    sub = {"test": "test", "test_trainset": "train"}[phase]
+    return os.path.join(save_dir, sub)
+
+
+def run_generation(
+    config: dict,
+    *,
+    phase: str = "test",
+    ckpt_iter="max",
+    fast_sampling: bool = False,
+    fast_sampling_config: Optional[dict] = None,
+    num_trials: int = 1,
+    augment_data_during_generation: bool = False,
+    num_samples_tested: Optional[int] = None,
+    save_generated: bool = True,
+    state_override=None,
+    dataset_override=None,
+    base_save_dir: Optional[str] = None,
+    batch_size: Optional[int] = None,
+    t_slices=None,
+    compute_emd: bool = True,
+):
+    """Generate coarse clouds (+metrics) for a phase; loops trials for the
+    augmented-trainset generation used to train the refinement network
+    (generate_samples.py:459-485)."""
+    train_config = config["train_config"]
+    pointnet_config = config["pointnet_config"]
+    dc = config["diffusion_config"]
+    ts_cfg = config.get("mvp_dataset_config", {})
+    schedule = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
+    model = build_model(pointnet_config)
+
+    # resolve checkpoint
+    if state_override is not None:
+        state, it = state_override, 0
+    else:
+        root = train_config.get("root_directory", "exp")
+        ckpt_path = os.path.join(
+            root, local_experiment_path(config),
+            config.get("gen_config", {}).get("ckpt_path", "logs/checkpoint"),
+        )
+        if ckpt_iter in ("max", "best"):
+            it = find_max_epoch(ckpt_path, ckpt_iter)
+        else:
+            it = int(ckpt_iter)
+        # params-only restore: build an abstract example lazily from init
+        raise_if = it < 0
+        if raise_if:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_path}")
+        state = None  # loaded per trial below with an example state
+        ckpt_dir = ckpt_path
+
+    plan = None
+    if fast_sampling:
+        fs = dict(fast_sampling_config or {})
+        plan = make_fast_sampling_plan(
+            schedule, dc["T"], dc["beta_0"], dc["beta_T"],
+            length=fs.get("length", 50),
+            sampling_method=fs.get("sampling_method", "var"),
+            noise_schedule=fs.get("schedule", "quadratic"),
+            kappa=fs.get("kappa", 0.5),
+        )
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    scale = ts_cfg.get("scale", 1)
+    results = []
+    for trial in range(num_trials):
+        train_split = phase == "test_trainset"
+        if dataset_override is not None:
+            dataset = dataset_override
+        else:
+            ds_cfg = dict(ts_cfg)
+            if augment_data_during_generation:
+                ds_cfg["return_augmentation_params"] = True
+            dataset = make_dataset(
+                ds_cfg, train_split, rank, world, eval_subset=num_samples_tested
+            )
+            if augment_data_during_generation:
+                dataset.cfg.return_augmentation_params = True
+                dataset.cfg.augmentation = ts_cfg.get("augmentation")
+        bs = batch_size or ts_cfg.get("eval_batch_size", 32)
+
+        npoints = ts_cfg.get("npoints", 2048)
+        sampler = jax.jit(
+            make_coarse_sampler(
+                model, schedule, num_points=npoints, fast_plan=plan,
+                t_slices=t_slices,
+            )
+        )
+
+        if state_override is None:
+            # need an example state pytree: init params from one batch
+            from ..data import iterate_batches
+
+            ex = next(iterate_batches(dataset, 1, shuffle=False))
+            # jit the init: eager init dispatches thousands of ops one RPC at
+            # a time through the TPU tunnel (minutes); jitted it is one program
+            params = jax.jit(model.init)(
+                jax.random.key(0),
+                jnp.asarray(ex["complete"]),
+                jnp.asarray(ex["partial"]),
+                jnp.zeros((1,), jnp.float32),
+                jnp.asarray(ex["label"]),
+            )
+            from ..train.step import create_train_state
+
+            ex_state, _ = create_train_state(params, jax.random.key(0))
+            state, _, _ = maybe_resume(ckpt_dir, it, ex_state)
+            if state is None:
+                raise FileNotFoundError(f"checkpoint {it} under {ckpt_dir}")
+
+        params = state.params if hasattr(state, "params") else state
+        rng_holder = [jax.random.key(1000 + trial)]
+
+        def gen_fn(batch):
+            rng_holder[0], k = jax.random.split(rng_holder[0])
+            return sampler(
+                params, k, jnp.asarray(batch["partial"]), jnp.asarray(batch["label"])
+            )
+
+        from ..data import iterate_batches
+
+        save_dir = None
+        if save_generated:
+            save_dir = generation_save_dir(
+                config,
+                it,
+                fast_sampling=fast_sampling,
+                fast_sampling_config=fast_sampling_config,
+                trial_index=trial + 1 if num_trials > 1 else None,
+                phase=phase,
+                base_dir=base_save_dir,
+            )
+            if world > 1:
+                save_dir = os.path.join(save_dir, f"rank_{rank}")
+        res = evaluate(
+            gen_fn,
+            iterate_batches(dataset, bs, shuffle=False),
+            scale=scale,
+            save_generated_samples=save_generated,
+            save_dir=save_dir,
+            unaugment_results=augment_data_during_generation,
+            compute_emd=compute_emd,
+        )
+        results.append(res)
+        print(
+            f"trial {trial}: avg CD {res.avg_cd:.8f} avg EMD {res.avg_emd:.8f} "
+            f"({res.total_generation_time:.1f}s generation)",
+            flush=True,
+        )
+    return results
+
+
+def run_generation_from_file(config_path: str, **kw):
+    return run_generation(load_config(config_path), **kw)

@@ -28,6 +28,29 @@ def _ckpt_dir(path: str, it: int) -> str:
     return os.path.join(path, f"{CKPT_PREFIX}_{it}")
 
 
+def _is_prng_key(x) -> bool:
+    try:
+        return jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
+def _unwrap_keys(tree):
+    """Typed PRNG keys are not serializable; store their raw uint32 data."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.random.key_data(x)) if _is_prng_key(x) else np.asarray(x),
+        tree,
+    )
+
+
+def _rewrap_keys(restored, example):
+    return jax.tree_util.tree_map(
+        lambda r, e: jax.random.wrap_key_data(r) if _is_prng_key(e) else r,
+        restored,
+        example,
+    )
+
+
 def save_checkpoint(
     path: str,
     it: int,
@@ -40,10 +63,7 @@ def save_checkpoint(
     os.makedirs(path, exist_ok=True)
     target = _ckpt_dir(path, it)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        os.path.abspath(target), jax.tree_util.tree_map(np.asarray, state),
-        force=True,
-    )
+    ckptr.save(os.path.abspath(target), _unwrap_keys(state), force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(target, "meta.json"), "w") as f:
         json.dump({"iter": it, "training_time_seconds": training_time_seconds}, f)
@@ -86,11 +106,13 @@ def load_checkpoint(path: str, it: int, example_state: Any):
     `example_state`.  Returns (state, training_time_seconds)."""
     target = _ckpt_dir(path, it)
     ckptr = ocp.StandardCheckpointer()
+    unwrapped_example = _unwrap_keys(example_state)
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
-        example_state,
+        unwrapped_example,
     )
     state = ckptr.restore(os.path.abspath(target), abstract)
+    state = _rewrap_keys(state, example_state)
     secs = 0.0
     meta = os.path.join(target, "meta.json")
     if os.path.exists(meta):

@@ -1,0 +1,276 @@
+"""The training driver: config-in, checkpoints/eval/logs out.
+
+Reference: pointnet2/train.py:295-714 and the launcher distributed.py.
+Differences by design (TPU-native):
+  * one process drives all local chips through a jitted SPMD step — there is
+    no per-GPU subprocess fan-out, no NCCL process group, no
+    CUDA_VISIBLE_DEVICES rewriting (distributed.py:149-228);
+  * multi-host runs shard the dataset by jax.process_index() exactly where
+    the reference sharded by rank (mvp_dataset.py:149-210);
+  * the eval-in-loop writes the same gathered pickle schema
+    (train.py:128-257) so `find_max_epoch(mode='best')` keeps working.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.loader import load_config
+from ..data import MVPDataset, MVPDatasetConfig, iterate_batches
+from ..diffusion import calc_diffusion_hyperparams
+from ..models import PointNet2CloudCondition, PointwiseNet
+from ..parallel import make_mesh, shard_batch
+from ..sample import evaluate, make_coarse_sampler, make_refiner
+from ..utils import AverageMeter, TensorBoardLogger
+from .checkpoints import find_max_epoch, maybe_resume, save_checkpoint
+from .scheduler import QuantityScheduler
+from .step import (
+    TrainState,
+    create_train_state,
+    jit_step_for_mesh,
+    make_completion_train_step,
+    make_refine_train_step,
+)
+
+
+def local_experiment_path(config: dict) -> str:
+    """Experiment directory naming (train.py:320-326)."""
+    dc = config["diffusion_config"]
+    pc = config["pointnet_config"]
+    path = f"T{dc['T']}_betaT{dc['beta_T']}_{pc['model_name']}"
+    if config["train_config"].get("task") == "refine_completion":
+        refine = config.get("refine_config", {})
+        exp = refine.get("exp_name", "refine")
+        head, tail = os.path.split(exp)
+        path = os.path.join(path, head, f"refine_exp_{tail}")
+    return path
+
+
+def build_model(pointnet_config: dict):
+    network_type = pointnet_config.get("network_type", "pointnet++")
+    if network_type == "pointnet++":
+        return PointNet2CloudCondition.from_config(pointnet_config)
+    if network_type == "pointwise_net":
+        return PointwiseNet(**pointnet_config["network_args"])
+    if network_type == "pvd":
+        from ..models.pvcnn import PVCNN2Completion
+
+        return PVCNN2Completion(**pointnet_config["network_args"])
+    raise ValueError(network_type)
+
+
+def make_dataset(trainset_config: dict, train: bool, rank: int, world: int,
+                 eval_subset: Optional[int] = None):
+    aug = trainset_config.get("augmentation") if train else None
+    return MVPDataset(
+        MVPDatasetConfig(
+            data_dir=trainset_config["data_dir"],
+            train=train,
+            npoints=trainset_config.get("npoints", 2048),
+            novel_input=trainset_config.get("novel_input", True),
+            novel_input_only=trainset_config.get("novel_input_only", False),
+            scale=trainset_config.get("scale", 1),
+            rank=rank,
+            world_size=world,
+            augmentation=aug if isinstance(aug, dict) else None,
+            random_subsample=eval_subset is not None,
+            num_samples=eval_subset or 0,
+            include_generated_samples=trainset_config.get(
+                "include_generated_samples", False
+            ),
+            generated_sample_path=trainset_config.get("generated_sample_path"),
+            randomly_select_generated_samples=trainset_config.get(
+                "randomly_select_generated_samples", False
+            ),
+            use_mirrored_partial_input=trainset_config.get(
+                "use_mirrored_partial_input", False
+            ),
+            number_partial_points=trainset_config.get("number_partial_points", 2048),
+            append_samples_to_last_rank=train,
+        )
+    )
+
+
+def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
+          dataset_override=None, eval_dataset_override=None) -> dict:
+    """Run training per the JSON config.  `max_steps` truncates for smoke
+    runs; dataset overrides let tests inject synthetic data."""
+    train_config = config["train_config"]
+    pointnet_config = config["pointnet_config"]
+    diffusion_config = config["diffusion_config"]
+    trainset_config = config.get("mvp_dataset_config", config.get("dataset_config", {}))
+    refine_config = config.get("refine_config", {})
+    task = train_config.get("task", "completion")
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    root = train_config.get("root_directory", "exp")
+    local_path = local_experiment_path(config)
+    output_directory = os.path.join(
+        root, local_path, train_config.get("output_directory", "logs/checkpoint")
+    )
+    os.makedirs(output_directory, exist_ok=True)
+    tb = TensorBoardLogger(
+        os.path.join(
+            root, local_path, train_config.get("tensorboard_directory", "logs/tb")
+        )
+    )
+
+    schedule = calc_diffusion_hyperparams(
+        diffusion_config["T"], diffusion_config["beta_0"], diffusion_config["beta_T"]
+    )
+    model = build_model(pointnet_config)
+
+    dataset = dataset_override or make_dataset(trainset_config, True, rank, world)
+    batch_size = trainset_config.get("batch_size", 32)
+    loader_len = max(1, len(dataset) // batch_size)
+    n_epochs = train_config.get("n_epochs", 1)
+    n_iters = int(loader_len * n_epochs)
+    if max_steps is not None:
+        n_iters = min(n_iters, max_steps)
+    iters_per_ckpt = int(loader_len * train_config.get("epochs_per_ckpt", 1))
+    iters_per_logging = train_config.get("iters_per_logging", 50)
+
+    # init params from one example batch
+    example = next(iterate_batches(dataset, batch_size, shuffle=False))
+    x0 = jnp.asarray(example["complete"])
+    condition = (
+        jnp.asarray(example["partial"])
+        if train_config.get("conditioned_on_cloud", True)
+        else None
+    )
+    label = jnp.asarray(example["label"])
+    if task == "refine_completion":
+        net_in = jnp.asarray(example.get("generated", example["complete"]))
+        ts0 = None
+    else:
+        net_in = x0
+        ts0 = jnp.zeros((x0.shape[0],), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), net_in, condition, ts0, label)
+
+    state, tx = create_train_state(
+        params, jax.random.key(rank + 1), train_config.get("learning_rate", 2e-4)
+    )
+
+    # resume
+    restored, ckpt_iter, prev_secs = maybe_resume(
+        output_directory, train_config.get("ckpt_iter", "max"), state
+    )
+    if restored is not None:
+        state = restored
+    n_iter = ckpt_iter + 1
+    time0 = time.time() - prev_secs
+
+    scale = trainset_config.get("scale", 1)
+    if task == "completion":
+        step_fn = make_completion_train_step(model, schedule, tx)
+        n_batch_args = 3
+    else:
+        step_fn = make_refine_train_step(
+            model,
+            tx,
+            scale=scale,
+            cd_loss_type=refine_config.get("cd_loss_type", "cd_t"),
+            point_upsample_factor=pointnet_config.get("point_upsample_factor", 1),
+            include_displacement_center=pointnet_config.get(
+                "include_displacement_center_to_final_output", False
+            ),
+            intermediate_loss_weight=pointnet_config.get(
+                "intermediate_refined_X_loss_weight", 0.0
+            )
+            if pointnet_config.get("point_upsample_factor", 1) > 1
+            else 0.0,
+            task=task,
+        )
+        n_batch_args = 4
+
+    if mesh is None:
+        mesh = make_mesh()
+    jitted, state = jit_step_for_mesh(
+        step_fn, mesh, state, n_array_args=n_batch_args,
+        n_scalar_args=0 if task == "completion" else 1,
+    )
+
+    osf_scheduler = None
+    if task == "refine_completion":
+        if refine_config.get("use_output_scale_factor_schedule", False):
+            s = refine_config["output_scale_factor_schedule"]
+            osf_scheduler = QuantityScheduler(
+                s["init_epoch"], s["final_epoch"], s["init_value"],
+                refine_config["output_scale_factor"], loader_len,
+            )
+        output_scale_factor = refine_config.get("output_scale_factor", 0.001)
+
+    loss_meter = AverageMeter("Train-Loss")
+    eval_records = {"iter": [], "avg_cd": [], "avg_emd": []}
+    best_cd = None
+
+    done = False
+    while not done:
+        if trainset_config.get("randomly_select_generated_samples", False):
+            dataset = dataset_override or make_dataset(trainset_config, True, rank, world)
+        for batch in iterate_batches(dataset, batch_size, shuffle=True, drop_last=True):
+            x0 = jnp.asarray(batch["complete"])
+            condition = jnp.asarray(batch["partial"])
+            label = jnp.asarray(batch["label"])
+            if task == "completion":
+                args = shard_batch((x0, condition, label), mesh)
+                state, loss = jitted(state, *args)
+            else:
+                generated = jnp.asarray(batch.get("generated", batch["complete"]))
+                osf = (
+                    osf_scheduler.get_quantity(n_iter)
+                    if osf_scheduler is not None
+                    else output_scale_factor
+                )
+                args = shard_batch((x0, condition, label, generated), mesh)
+                state, loss = jitted(state, *args, jnp.float32(osf))
+            loss_val = float(loss)
+            loss_meter.update(loss_val)
+
+            if n_iter % iters_per_logging == 0:
+                print(f"iteration: {n_iter} \tloss: {loss_val:.6f}", flush=True)
+                tb.add_scalar("Log-Train-Loss", float(np.log(max(loss_val, 1e-12))), n_iter)
+
+            if n_iter > 0 and n_iter % iters_per_ckpt == 0 and rank == 0:
+                save_checkpoint(
+                    output_directory, n_iter, state,
+                    training_time_seconds=time.time() - time0,
+                )
+                print(f"checkpoint saved at iteration {n_iter}", flush=True)
+
+            n_iter += 1
+            if n_iter >= n_iters:
+                done = True
+                break
+        if loader_len == 0:
+            break
+
+    if rank == 0:
+        save_checkpoint(
+            output_directory, n_iter, state,
+            training_time_seconds=time.time() - time0,
+        )
+    tb.close()
+    return {
+        "state": state,
+        "model": model,
+        "schedule": schedule,
+        "output_directory": output_directory,
+        "final_loss": loss_meter.avg,
+        "n_iter": n_iter,
+        "eval_records": eval_records,
+        "best_cd": best_cd,
+    }
+
+
+def train_from_file(config_path: str, **kw):
+    return train(load_config(config_path), **kw)

@@ -4,7 +4,8 @@ its NCCL path; see SURVEY.md section 4)."""
 
 import os
 
-# force: the session environment pins JAX_PLATFORMS=axon (the real TPU)
+# force: the session environment pins JAX_PLATFORMS=axon (the real TPU) and
+# the axon plugin ignores the env-var override, so use jax.config directly
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -12,8 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 @pytest.fixture

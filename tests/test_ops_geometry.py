@@ -247,3 +247,19 @@ class TestMaskedMean:
         feat = jnp.ones((2, 3, 5, 4))
         out = ops.masked_mean(feat, "all")
         assert out.shape == (2, 3, 4)
+
+
+class TestBallQueryLargeK:
+    def test_nsample_exceeds_point_count(self, rng_np):
+        """The coarsest FT level queries a 16-point cloud with nsample=32
+        (decoder radius ladder, config feature_mapper_architecture)."""
+        xyz = jnp.asarray(rng_np.uniform(-1, 1, (2, 16, 3)).astype(np.float32))
+        centers = jnp.asarray(rng_np.uniform(-1, 1, (2, 5, 3)).astype(np.float32))
+        idx, cnt = ops.ball_query(xyz, centers, 4.0, 32)
+        assert idx.shape == (2, 5, 32)
+        assert (np.asarray(cnt) <= 16).all()
+        # all points are within radius 4.0 of everything: counts = 16
+        np.testing.assert_array_equal(np.asarray(cnt), 16)
+        # slots beyond the count repeat the first neighbor
+        first = np.asarray(idx)[..., :1]
+        np.testing.assert_array_equal(np.asarray(idx)[..., 16:], np.repeat(first, 16, -1))
