@@ -64,7 +64,7 @@ def nn_sqdist(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
         chunk = max(128, _TILE_BUDGET // max(B * N, 1))
         chunk = min(chunk, M)
         idx = _argmin_chunked(jax.lax.stop_gradient(a), jax.lax.stop_gradient(b), chunk)
-    nearest = jnp.take_along_axis(b, idx[..., None], axis=1)  # (B, M, 3)
+    nearest = b[jnp.arange(B)[:, None], idx, :]  # (B, M, 3) batched gather
     dist = jnp.sum(jnp.square(a - nearest), axis=-1)
     return dist, idx
 

@@ -38,8 +38,7 @@ def three_interpolate(features: jax.Array, idx: jax.Array, weight: jax.Array) ->
       (B, n, C).
     """
     B, n, three = idx.shape
-    g = jnp.take_along_axis(features, idx.reshape(B, n * three)[..., None], axis=1)
-    g = g.reshape(B, n, three, features.shape[-1])
+    g = features[jnp.arange(B)[:, None, None], idx, :]  # (B, n, 3, C)
     return jnp.sum(g * weight[..., None], axis=2)
 
 

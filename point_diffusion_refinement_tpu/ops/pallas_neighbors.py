@@ -1,0 +1,205 @@
+"""Ball query and kNN as Pallas TPU kernels.
+
+Motivation (profiled on v5e): `jax.lax.top_k` lowers to a full variadic SORT
+on TPU — the 13 ball queries + 4 kNN groupings per denoiser forward spend
+~45% of the step in sorts.  Neither op needs a sort:
+
+  * ball query ("first <= K in-radius points in index order") uses the
+    closed form  idx(m, k) = sum_n [ cumsum_incl(m, n) <= k ]  — the number
+    of positions before the (k+1)-th in-radius point IS its index.  One
+    in-VMEM cumulative sum (log-shift scan) + K masked reductions, no
+    ordering anywhere.
+  * kNN (small K) extracts minima iteratively: K rounds of (min, index-min,
+    mask-out) on the distance tile held in VMEM — ties resolve to the lowest
+    index exactly like a stable sort.
+
+Both kernels tile the centers/queries over a grid of (batch, row-tiles) with
+the (rows, N) distance tile resident in VMEM; distances are computed by
+per-coordinate broadcast subtraction (exact — see ops/neighbors.py note).
+
+Reference semantics: ball_query_gpu.cu:9-47 and pytorch3d knn_points as used
+in pointnet2_utils.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _cumsum_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum along the lane (last) axis via log-shift
+    adds (Mosaic has no native scan)."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, s, axis=len(x.shape) - 1)
+        x = x + jnp.where(lane >= s, shifted, 0)
+        s *= 2
+    return x
+
+
+def _sqdist_tile(cen_ref, xyz_ref):
+    """(3, Mt) centers x (3, N) points -> (Mt, N) exact squared distances."""
+    d = None
+    for c in range(3):
+        diff = cen_ref[c, :][:, None] - xyz_ref[c, :][None, :]
+        d = diff * diff if d is None else d + diff * diff
+    return d
+
+
+def _ball_query_kernel(radius: float, nsample: int, n_valid: int,
+                       xyz_ref, cen_ref, idx_ref, cnt_ref):
+    # xyz_ref: (1, 3, N); cen_ref: (1, 3, Mt); idx_ref: (1, Mt, K);
+    # cnt_ref: (1, Mt, 8) — counts replicated over an 8-wide minor axis to
+    # satisfy Mosaic's block-tiling rules; callers slice [..., 0]
+    N = xyz_ref.shape[-1]
+    Mt = cen_ref.shape[-1]
+    d = _sqdist_tile(cen_ref[0], xyz_ref[0])  # (Mt, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Mt, N), 1)
+    mask = (d < radius * radius) & (lane < n_valid)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)  # (Mt,)
+    c_incl = _cumsum_lanes(mask.astype(jnp.int32))  # (Mt, N)
+
+    counts_c = jnp.minimum(counts, nsample)
+    cnt_ref[0, :, :] = jnp.broadcast_to(counts_c[:, None], (Mt, 8))
+
+    # first in-radius index (for padding); N if the ball is empty
+    first = jnp.min(jnp.where(mask, lane, N), axis=1)  # (Mt,)
+    pad = jnp.where(first < N, first, 0).astype(jnp.int32)
+    cols = []
+    for k in range(nsample):
+        raw = jnp.sum((c_incl <= k).astype(jnp.int32), axis=1)  # (Mt,)
+        cols.append(jnp.where(k < counts_c, raw, pad).astype(jnp.int32))
+    idx_ref[0, :, :] = jnp.stack(cols, axis=1)  # (Mt, K)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def ball_query_pallas(
+    xyz: jax.Array, new_xyz: jax.Array, radius: float, nsample: int,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops.neighbors.ball_query on TPU.
+
+    Args:
+      xyz: (B, N, 3); new_xyz: (B, M, 3).
+
+    Returns:
+      idx (B, M, nsample) int32, counts (B, M) int32.
+    """
+    B, N, _ = xyz.shape
+    M = new_xyz.shape[1]
+    M_TILE = 256 if M >= 256 else _round_up(M, 8)
+    Mp = _round_up(M, M_TILE)
+    Np = _round_up(N, 128)
+
+    planes = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
+    # pad points far away so they are never in-radius; mask guards anyway
+    if Np != N:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, Np - N)),
+                         constant_values=1e9)
+    cen = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, M)
+    if Mp != M:
+        cen = jnp.pad(cen, ((0, 0), (0, 0), (0, Mp - M)), constant_values=1e9)
+
+    kernel = functools.partial(_ball_query_kernel, float(radius), nsample, N)
+    grid = (B, Mp // M_TILE)
+    idx, cnt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, M_TILE), lambda b, m: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, M_TILE, nsample), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M_TILE, 8), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((B, Mp, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(planes, cen)
+    return idx[:, :M], cnt[:, :M, 0]
+
+
+def _knn_kernel(k: int, n_valid: int, q_ref, p_ref, dist_ref, idx_ref):
+    # q_ref: (1, 3, Qt); p_ref: (1, 3, N); dist/idx: (1, Qt, k)
+    N = p_ref.shape[-1]
+    Qt = q_ref.shape[-1]
+    d = _sqdist_tile(q_ref[0], p_ref[0])  # (Qt, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Qt, N), 1)
+    big = jnp.float32(3.4e38)
+    d = jnp.where(lane < n_valid, d, big)
+    remaining = jnp.ones((Qt, N), jnp.bool_)
+    dcols, icols = [], []
+    for j in range(k):
+        cand = jnp.where(remaining, d, big)
+        val = jnp.min(cand, axis=1)  # (Qt,)
+        hit = cand == val[:, None]
+        sel = jnp.min(jnp.where(hit, lane, N), axis=1)  # lowest index wins
+        dcols.append(val)
+        icols.append(sel.astype(jnp.int32))
+        remaining = remaining & (lane != sel[:, None])
+    dist_ref[0, :, :] = jnp.stack(dcols, axis=1)
+    idx_ref[0, :, :] = jnp.stack(icols, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def knn_pallas(query: jax.Array, points: jax.Array, k: int,
+               interpret: bool = False):
+    """Drop-in replacement for ops.neighbors.knn on TPU (exact, stable-tie).
+
+    Returns (dists (B, M, k) ascending, idx (B, M, k) int32).
+    """
+    B, M, _ = query.shape
+    N = points.shape[1]
+    Q_TILE = 256 if M >= 256 else _round_up(M, 8)
+    Mp = _round_up(M, Q_TILE)
+    Np = _round_up(N, 128)
+
+    q = jnp.transpose(query.astype(jnp.float32), (0, 2, 1))
+    if Mp != M:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Mp - M)))
+    p = jnp.transpose(points.astype(jnp.float32), (0, 2, 1))
+    if Np != N:
+        p = jnp.pad(p, ((0, 0), (0, 0), (0, Np - N)), constant_values=1e9)
+
+    kernel = functools.partial(_knn_kernel, k, N)
+    grid = (B, Mp // Q_TILE)
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, Q_TILE), lambda b, m: (b, 0, m),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Np), lambda b, m: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Q_TILE, k), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q_TILE, k), lambda b, m: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, Mp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, p)
+    return dist[:, :M], idx[:, :M]

@@ -24,9 +24,18 @@ import jax.numpy as jnp
 PAD_NORM_SQ = 1e-3
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("PDR_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
-def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
-    """Iteratively select ``npoint`` maximally-separated points.
+def furthest_point_sample_xla(xyz: jax.Array, npoint: int) -> jax.Array:
+    """Pure-XLA FPS (fori_loop); used on CPU and as the reference
+    implementation for the Pallas kernel's parity tests.
 
     Args:
       xyz: (B, N, 3) point positions.
@@ -57,29 +66,79 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     return idxs
 
 
+def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
+    """FPS dispatcher: single-kernel Pallas implementation on TPU (the
+    per-iteration launch overhead of the XLA while-loop dominates there),
+    pure XLA elsewhere."""
+    if _use_pallas():
+        from .pallas_fps import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
+    return furthest_point_sample_xla(xyz, npoint)
+
+
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather points/features by index along the point axis.
 
     Channels-last analogue of the reference ``gather_operation``
     (pointnet2_utils.py:96-129 operates on (B, C, N); we use (B, N, C)).
+    Advanced indexing with an explicit batch iota lowers to a batched XLA
+    gather, ~4x faster on TPU than take_along_axis's kLoop fusion.
 
     Args:
       points: (B, N, C).
       idx: (B, M) int indices.
 
     Returns:
-      (B, M, C).  Differentiable w.r.t. ``points`` (XLA scatter-add in the VJP).
+      (B, M, C).  Differentiable w.r.t. ``points`` (scatter-add VJP).
     """
-    return jnp.take_along_axis(points, idx[..., None], axis=1)
+    B = points.shape[0]
+    return points[jnp.arange(B)[:, None], idx, :]
+
+
+# rows-per-chunk bound for the fused one-hot matmul gather (caps the
+# (B, CH, N) one-hot intermediate XLA fuses into the matmul)
+_GROUP_CHUNK = 8192
+
+
+def _group_points_onehot(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """TPU grouping as a one-hot matmul on the MXU.
+
+    XLA lowers multi-index gathers to scalar kLoop fusions on TPU
+    (~14 GB/s measured); contracting a fused one-hot against the point table
+    runs ~19x faster.  The f32 rows are split hi/lo into two bfloat16
+    matmuls so the reconstruction keeps ~16 mantissa bits (the one-hot
+    factor is exact in bf16).  The VJP is the transposed matmul — an
+    MXU-friendly scatter-add.
+    """
+    B, N, C = points.shape
+    _, M, K = idx.shape
+    flat = idx.reshape(B, M * K)
+    hi = points.astype(jnp.bfloat16)
+    lo = (points - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    total = M * K
+    outs = []
+    for i in range(0, total, _GROUP_CHUNK):
+        chunk = flat[:, i : i + _GROUP_CHUNK]
+        oh = jax.nn.one_hot(chunk, N, dtype=jnp.bfloat16)
+        g = jnp.einsum(
+            "bmn,bnc->bmc", oh, hi, preferred_element_type=jnp.float32
+        ) + jnp.einsum("bmn,bnc->bmc", oh, lo, preferred_element_type=jnp.float32)
+        outs.append(g)
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    return out.reshape(B, M, K, C)
 
 
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather neighbor groups: (B, N, C) x (B, M, K) -> (B, M, K, C).
 
     Channels-last analogue of ``grouping_operation``
-    (pointnet2_utils.py:222-268).
+    (pointnet2_utils.py:222-268).  One-hot MXU matmul on TPU; exact
+    take_along_axis elsewhere.
     """
     B, M, K = idx.shape
+    if _use_pallas():
+        return _group_points_onehot(points, idx)
     flat = idx.reshape(B, M * K)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(B, M, K, points.shape[-1])

@@ -1,0 +1,72 @@
+"""Pallas kernels vs the XLA reference implementations (interpret mode on
+CPU; on-device parity is exercised by the TPU bench/driver)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from point_diffusion_refinement_tpu.ops.neighbors import ball_query_xla, knn_xla
+from point_diffusion_refinement_tpu.ops.sampling import furthest_point_sample_xla
+from point_diffusion_refinement_tpu.ops.pallas_fps import furthest_point_sample_pallas
+from point_diffusion_refinement_tpu.ops.pallas_neighbors import (
+    ball_query_pallas,
+    knn_pallas,
+)
+
+
+@pytest.fixture
+def clouds(rng_np):
+    x = jnp.asarray(rng_np.uniform(-1, 1, (2, 300, 3)).astype(np.float32))
+    c = jnp.asarray(rng_np.uniform(-1, 1, (2, 70, 3)).astype(np.float32))
+    return x, c
+
+
+class TestPallasBallQuery:
+    def test_parity(self, clouds):
+        x, c = clouds
+        i1, n1 = ball_query_xla(x, c, 0.4, 16)
+        i2, n2 = ball_query_pallas(x, c, 0.4, 16, interpret=True)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_empty_and_overfull(self, rng_np):
+        x = jnp.asarray(rng_np.uniform(-0.05, 0.05, (1, 64, 3)).astype(np.float32))
+        c = jnp.concatenate([x[:, :4], jnp.ones((1, 2, 3)) * 5], axis=1)
+        i1, n1 = ball_query_xla(x, c, 0.2, 8)
+        i2, n2 = ball_query_pallas(x, c, 0.2, 8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        assert np.asarray(n2)[0, -1] == 0  # far center: empty ball
+
+    def test_k_exceeds_n(self, rng_np):
+        x = jnp.asarray(rng_np.uniform(-1, 1, (1, 12, 3)).astype(np.float32))
+        c = x[:, :3]
+        i1, n1 = ball_query_xla(x, c, 3.0, 32)
+        i2, n2 = ball_query_pallas(x, c, 3.0, 32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestPallasKnn:
+    def test_parity(self, clouds):
+        x, c = clouds
+        d1, i1 = knn_xla(c, x, 8)
+        d2, i2 = knn_pallas(c, x, 8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-6)
+
+
+class TestPallasFPS:
+    def test_parity(self, clouds):
+        x, _ = clouds
+        a = np.asarray(furthest_point_sample_xla(x, 64))
+        b = np.asarray(furthest_point_sample_pallas(x, 64, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_padding_skip(self, rng_np):
+        x = rng_np.uniform(0.5, 1.5, (1, 40, 3)).astype(np.float32)
+        x[:, 30:] = 0.0
+        idx = np.asarray(
+            furthest_point_sample_pallas(jnp.asarray(x), 16, interpret=True)
+        )
+        assert (idx[:, 1:] < 30).all()
