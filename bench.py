@@ -23,6 +23,7 @@ BASELINE_COMPLETIONS_PER_SEC_PER_CHIP = 0.069  # BASELINE.md derived
 T = int(os.environ.get("PDR_BENCH_T", "1000"))
 BATCH = int(os.environ.get("PDR_BENCH_BATCH", "16"))
 REPEATS = int(os.environ.get("PDR_BENCH_REPEATS", "1"))
+DTYPE = os.environ.get("PDR_BENCH_DTYPE", "bfloat16")
 
 
 def main():
@@ -31,7 +32,9 @@ def main():
     from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
     from point_diffusion_refinement_tpu.sample import make_coarse_sampler
 
-    model = PointNet2CloudCondition.from_config(dict(DEFAULT_POINTNET_CONFIG))
+    cfg = dict(DEFAULT_POINTNET_CONFIG)
+    cfg["compute_dtype"] = DTYPE
+    model = PointNet2CloudCondition.from_config(cfg)
     rng = np.random.default_rng(0)
     B = BATCH
     x = jnp.asarray(rng.uniform(-1, 1, (B, 2048, 3)).astype(np.float32))

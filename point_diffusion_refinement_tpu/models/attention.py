@@ -30,6 +30,7 @@ class AttentionPool(nn.Module):
     attention_bn: bool = True
     transform_grouped_feat_out: bool = True
     last_activation: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat, grouped_feat, grouped_feat_out, counts):
@@ -39,29 +40,29 @@ class AttentionPool(nn.Module):
         c2 = max(grouped_feat.shape[-1], 32)
         inter_c = min(c1 + c2, c_out)
 
-        q = nn.Dense(c1)(feat)[:, :, None, :]  # (B, M, 1, C1)
+        q = nn.Dense(c1, dtype=self.dtype)(feat)[:, :, None, :]  # (B, M, 1, C1)
         q = jnp.broadcast_to(q, q.shape[:2] + (K, c1))
-        k = nn.Dense(c2)(grouped_feat)  # (B, M, K, C2)
+        k = nn.Dense(c2, dtype=self.dtype)(grouped_feat)  # (B, M, K, C2)
         total = jnp.concatenate([q, k], axis=-1)
 
         h = jnp.maximum(total, 0.0)  # ReLU precedes the norm (attention.py:46-57)
         if self.attention_bn:
             h = PartialGroupNorm(min(32, c1 + c2))(h)
-        h = nn.Dense(inter_c)(h)
+        h = nn.Dense(inter_c, dtype=self.dtype)(h)
         h = jnp.maximum(h, 0.0)
         if self.attention_bn:
             h = PartialGroupNorm(min(32, inter_c))(h)
-        scores = nn.Dense(c_out)(h)  # (B, M, K, C_out)
+        scores = nn.Dense(c_out, dtype=self.dtype)(h)  # (B, M, K, C_out)
 
         if not (isinstance(counts, str) and counts == "all"):
             c = jnp.maximum(counts, 1)
             mask = count_to_mask(c, K)[..., None].astype(scores.dtype)  # (B,M,K,1)
             scores = scores * mask + (-1e9) * (1.0 - mask)
-        weight = nn.softmax(scores, axis=-2)  # softmax over K
+        weight = nn.softmax(scores.astype(jnp.float32), axis=-2)  # softmax over K, f32
 
         v = grouped_feat_out
         if self.transform_grouped_feat_out:
-            v = nn.Dense(c_out)(v)
+            v = nn.Dense(c_out, dtype=self.dtype)(v)
             if self.last_activation:
                 if self.attention_bn:
                     v = PartialGroupNorm(min(32, c_out))(v)

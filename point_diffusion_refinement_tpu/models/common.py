@@ -62,6 +62,7 @@ class SharedMLP(nn.Module):
     bias: bool = False
     activation: str = "relu"
     trim_last: bool = False
+    dtype: object = None  # compute dtype (e.g. bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -72,9 +73,9 @@ class SharedMLP(nn.Module):
                 if self.bn:
                     x = PartialGroupNorm(min(32, x.shape[-1]))(x)
                 x = act(x)
-                x = nn.Dense(f, use_bias=self.bias)(x)
+                x = nn.Dense(f, use_bias=self.bias, dtype=self.dtype)(x)
             else:
-                x = nn.Dense(f, use_bias=self.bias)(x)
+                x = nn.Dense(f, use_bias=self.bias, dtype=self.dtype)(x)
                 last = i == n - 1
                 if not (self.trim_last and last):
                     if self.bn:
@@ -111,6 +112,7 @@ class ConditionedMLP(nn.Module):
     res_connect: bool = False
     activation: str = "relu"
     trim_last: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feature, t_emb=None, condition_emb=None, second_condition_emb=None):
@@ -119,17 +121,17 @@ class ConditionedMLP(nn.Module):
             assert len(self.features) >= 3
         mk = lambda feats, trim=False: SharedMLP(
             feats, bn=self.bn, bn_first=self.bn_first, bias=self.bias,
-            activation=self.activation, trim_last=trim,
+            activation=self.activation, trim_last=trim, dtype=self.dtype,
         )
 
         if self.first_conv_features is not None:
-            feature = nn.Dense(self.first_conv_features, use_bias=self.bias)(feature)
+            feature = nn.Dense(self.first_conv_features, use_bias=self.bias, dtype=self.dtype)(feature)
 
         has_rest = len(self.features) > 2
         h = mk(self.features[:1])(feature)
         if self.include_t:
             assert t_emb is not None
-            t1 = nn.Dense(self.features[0])(t_emb)  # (B, f0)
+            t1 = nn.Dense(self.features[0], dtype=self.dtype)(t_emb)  # (B, f0)
             h = h + t1[:, None, None, :]
         else:
             assert t_emb is None
@@ -137,7 +139,7 @@ class ConditionedMLP(nn.Module):
         h = mk(self.features[1:2], trim=self.trim_last and not has_rest)(h)
         if self.include_condition:
             assert condition_emb is not None
-            c1 = nn.Dense(self.features[1])(condition_emb)
+            c1 = nn.Dense(self.features[1], dtype=self.dtype)(condition_emb)
             h = h + c1[:, None, None, :]
         else:
             assert condition_emb is None
@@ -146,7 +148,7 @@ class ConditionedMLP(nn.Module):
             h = mk(self.features[2:], trim=self.trim_last)(h)
         if self.include_second_condition:
             assert second_condition_emb is not None
-            c2 = nn.Dense(self.features[-1])(second_condition_emb)
+            c2 = nn.Dense(self.features[-1], dtype=self.dtype)(second_condition_emb)
             h = h + c2[:, None, None, :]
         else:
             assert second_condition_emb is None
@@ -155,7 +157,7 @@ class ConditionedMLP(nn.Module):
             if feature.shape[-1] == self.features[-1]:
                 h = h + feature
             else:
-                h = h + nn.Dense(self.features[-1], use_bias=self.bias)(feature)
+                h = h + nn.Dense(self.features[-1], use_bias=self.bias, dtype=self.dtype)(feature)
         return h
 
 

@@ -139,6 +139,7 @@ class PointNet2CloudCondition(nn.Module):
                     first_conv_features=fc_feats,
                     neighbor_def=neighbor_def[i],
                     activation=hp.get("activation", "relu"),
+                    dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
                     name=f"{name}_{i}",
                     **self._att(attention_setting),
                     **self._global_att(global_attention_setting, i),
@@ -183,6 +184,7 @@ class PointNet2CloudCondition(nn.Module):
                 include_center_coordinate=bool(hp.get("include_center_coordinate", False)),
                 neighbor_def=neighbor_def[i],
                 activation=hp.get("activation", "relu"),
+                dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
                 name=f"{name}_{i}",
             )
             if use_knn_FP:
@@ -239,6 +241,7 @@ class PointNet2CloudCondition(nn.Module):
                     first_conv_features=fc_feats,
                     neighbor_def=mapper_arch["neighbor_definition"],
                     activation=hp.get("activation", "relu"),
+                    dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
                     name=f"{name}_{i}",
                     **self._att(fm_att),
                 )
@@ -262,6 +265,10 @@ class PointNet2CloudCondition(nn.Module):
         self.use_position_encoding = bool(hp.get("use_position_encoding", False))
         self.pos_multires = int(hp.get("position_encoding_multires", 10))
         self.scale_factor = 1.0
+        # compute dtype: 'bfloat16' halves matmul/bandwidth cost on TPU for
+        # the Dense/attention stacks; params and norms stay float32
+        cd = hp.get("compute_dtype", "float32")
+        self.dtype = jnp.bfloat16 if cd == "bfloat16" else None
 
         att = hp.get("attention_setting", None)
         g_att = hp.get("global_attention_setting", None)
@@ -283,6 +290,7 @@ class PointNet2CloudCondition(nn.Module):
                 remove_last_activation=bool(
                     hp.get("global_feature_remove_last_activation", True)
                 ),
+                dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
             )
 
         arch = hp["architecture"]
@@ -334,7 +342,7 @@ class PointNet2CloudCondition(nn.Module):
         if self.head_bn_first:
             self.head_out = nn.Dense(out_dim)
         else:
-            self.head_mid = nn.Dense(128, use_bias=bool(hp["bias"]))
+            self.head_mid = nn.Dense(128, use_bias=bool(hp["bias"]), dtype=self.dtype)
             if self.head_bn:
                 self.head_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5)
             self.head_out = nn.Dense(out_dim)

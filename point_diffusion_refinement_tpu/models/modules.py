@@ -53,6 +53,7 @@ class SetAbstraction(nn.Module):
     use_global_attention: bool = False
     global_attention_bn: bool = True
     global_attention_last_activation: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -90,6 +91,7 @@ class SetAbstraction(nn.Module):
             first_conv_features=self.first_conv_features,
             res_connect=self.res_connect,
             activation=self.activation,
+            dtype=self.dtype,
         )(
             grouped,
             t_emb=t_emb if self.include_t else None,
@@ -105,6 +107,7 @@ class SetAbstraction(nn.Module):
                 attention_bn=self.attention_bn,
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
+                dtype=self.dtype,
             )(query, grouped, out, counts)
         else:
             new_features = pool_features(out, counts, pooling)
@@ -142,6 +145,7 @@ class FeaturePropagation(nn.Module):
     include_center_coordinate: bool = False
     neighbor_def: str = "radius"
     activation: str = "relu"
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -198,6 +202,7 @@ class FeaturePropagation(nn.Module):
             first_conv_features=self.first_conv_features,
             res_connect=self.res_connect,
             activation=self.activation,
+            dtype=self.dtype,
         )(
             h,
             t_emb=t_emb if self.include_t else None,
@@ -246,6 +251,7 @@ class KnnFeaturePropagation(nn.Module):
     use_global_attention: bool = False
     global_attention_bn: bool = True
     global_attention_last_activation: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -329,6 +335,7 @@ class KnnFeaturePropagation(nn.Module):
             bias=self.bias,
             res_connect=self.res_connect,
             activation=self.activation,
+            dtype=self.dtype,
         )(
             h,
             t_emb=t_emb if self.include_t else None,
@@ -373,6 +380,7 @@ class FeatureTransfer(nn.Module):
     attention_bn: bool = True
     attention_transform_out: bool = True
     attention_last_activation: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(
@@ -406,6 +414,7 @@ class FeatureTransfer(nn.Module):
             first_conv_features=self.first_conv_features,
             res_connect=self.res_connect,
             activation=self.activation,
+            dtype=self.dtype,
         )(grouped)
         if self.use_attention:
             assert query_feats is not None
@@ -414,5 +423,6 @@ class FeatureTransfer(nn.Module):
                 attention_bn=self.attention_bn,
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
+                dtype=self.dtype,
             )(query_feats, grouped, out, counts)
         return pool_features(out, counts, pooling)

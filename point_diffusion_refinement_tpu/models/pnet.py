@@ -24,6 +24,7 @@ class Pnet2Stage(nn.Module):
     mlp2: Sequence[int]
     bn: bool = True
     remove_last_activation: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -31,13 +32,13 @@ class Pnet2Stage(nn.Module):
         h = x[:, :, None, :]  # (B, N, 1, C)
         h = ConditionedMLP(
             tuple(self.mlp1[1:]), bn=self.bn, bias=True,
-            trim_last=self.remove_last_activation,
+            trim_last=self.remove_last_activation, dtype=self.dtype,
         )(h)
         pooled = jnp.max(h, axis=1, keepdims=True)  # (B, 1, 1, C1)
         pooled_b = jnp.broadcast_to(pooled, h.shape)
         h = jnp.concatenate([h, pooled_b], axis=-1)
         h = ConditionedMLP(
             tuple(self.mlp2), bn=self.bn, bias=True,
-            trim_last=self.remove_last_activation,
+            trim_last=self.remove_last_activation, dtype=self.dtype,
         )(h)
         return jnp.max(h, axis=1)[:, 0, :]  # (B, mlp2[-1])

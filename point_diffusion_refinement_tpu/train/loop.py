@@ -200,6 +200,7 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
     )
 
     osf_scheduler = None
+    output_scale_factor = refine_config.get("output_scale_factor", 0.001)
     if task == "refine_completion":
         if refine_config.get("use_output_scale_factor_schedule", False):
             s = refine_config["output_scale_factor_schedule"]
@@ -207,11 +208,79 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
                 s["init_epoch"], s["final_epoch"], s["init_value"],
                 refine_config["output_scale_factor"], loader_len,
             )
-        output_scale_factor = refine_config.get("output_scale_factor", 0.001)
+
+    # ---- eval-in-loop setup (train.py:568-631) --------------------------
+    eval_per_ckpt = int(train_config.get("eval_per_ckpt", 1))
+    eval_start_iter = train_config.get("eval_start_epoch", 0) * loader_len - 1
+    num_samples_tested = trainset_config.get("num_samples_tested", 0)
+    compute_emd = bool(train_config.get("compute_emd", True))
+    only_best = bool(train_config.get("only_save_the_best_model", False))
+    if task == "completion" and only_best:
+        raise ValueError(
+            "To train the diffusion model, we should save every checkpoint"
+        )
+    eval_dir = os.path.join(root, local_path, "eval_result")
+    eval_T = int(train_config.get("eval_sampling_steps", 0))  # 0 = full T
+
+    def run_eval(n_iter_now, osf_now):
+        from ..cli.eval_results import gather_eval_results, save_eval_result
+        from ..data import iterate_batches
+
+        eval_ds = eval_dataset_override or make_dataset(
+            trainset_config, False, rank, world,
+            eval_subset=num_samples_tested or None,
+        )
+        bs = trainset_config.get("eval_batch_size", 32)
+        if task == "completion":
+            sampler = jax.jit(
+                make_coarse_sampler(model, schedule, num_points=trainset_config.get("npoints", 2048))
+            )
+            rng_holder = [jax.random.key(4242 + n_iter_now)]
+
+            def gen_fn(batch):
+                rng_holder[0], k = jax.random.split(rng_holder[0])
+                return sampler(
+                    state.params, k, jnp.asarray(batch["partial"]),
+                    jnp.asarray(batch["label"]),
+                )
+        else:
+            refiner = jax.jit(
+                make_refiner(
+                    model,
+                    point_upsample_factor=pointnet_config.get("point_upsample_factor", 1),
+                    include_displacement_center=pointnet_config.get(
+                        "include_displacement_center_to_final_output", False
+                    ),
+                )
+            )
+
+            def gen_fn(batch):
+                coarse = jnp.asarray(batch.get("generated", batch["complete"]))
+                return refiner(
+                    state.params, coarse, jnp.asarray(batch["partial"]),
+                    jnp.asarray(batch["label"]), jnp.float32(osf_now),
+                )
+
+        res = evaluate(
+            gen_fn, iterate_batches(eval_ds, bs, shuffle=False), scale=scale,
+            compute_emd=compute_emd, print_every=10 ** 9,
+        )
+        save_eval_result(eval_dir, n_iter_now, res.avg_cd, res.avg_emd, res.metrics)
+        gathered = gather_eval_results(eval_dir)
+        tb.add_scalar("CD-Loss", res.avg_cd, n_iter_now)
+        tb.add_scalar("EMD-Loss", res.avg_emd, n_iter_now)
+        print(
+            f"eval @ iter {n_iter_now}: CD {res.avg_cd:.8f} EMD {res.avg_emd:.8f}",
+            flush=True,
+        )
+        return res.avg_cd, res.avg_emd
 
     loss_meter = AverageMeter("Train-Loss")
     eval_records = {"iter": [], "avg_cd": [], "avg_emd": []}
     best_cd = None
+    last_saved = None
+    last_saved_best = None
+    num_ckpts = 0
 
     done = False
     while not done:
@@ -240,12 +309,59 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
                 print(f"iteration: {n_iter} \tloss: {loss_val:.6f}", flush=True)
                 tb.add_scalar("Log-Train-Loss", float(np.log(max(loss_val, 1e-12))), n_iter)
 
-            if n_iter > 0 and n_iter % iters_per_ckpt == 0 and rank == 0:
-                save_checkpoint(
-                    output_directory, n_iter, state,
-                    training_time_seconds=time.time() - time0,
-                )
-                print(f"checkpoint saved at iteration {n_iter}", flush=True)
+            if n_iter > 0 and (n_iter + 1) % iters_per_ckpt == 0:
+                num_ckpts += 1
+                if rank == 0:
+                    if last_saved is not None and only_best:
+                        import shutil
+
+                        shutil.rmtree(last_saved, ignore_errors=True)
+                    last_saved = save_checkpoint(
+                        output_directory, n_iter, state,
+                        training_time_seconds=time.time() - time0,
+                    )
+                    print(f"checkpoint saved at iteration {n_iter}", flush=True)
+
+                if (
+                    num_samples_tested > 0
+                    and n_iter >= eval_start_iter
+                    and num_ckpts % eval_per_ckpt == 0
+                ):
+                    osf_now = (
+                        osf_scheduler.get_quantity(n_iter)
+                        if osf_scheduler is not None
+                        else output_scale_factor
+                    )
+                    avg_cd, avg_emd = run_eval(n_iter, osf_now)
+                    eval_records["iter"].append(n_iter)
+                    eval_records["avg_cd"].append(avg_cd)
+                    eval_records["avg_emd"].append(avg_emd)
+                    if only_best and rank == 0:
+                        if best_cd is None or avg_cd <= best_cd:
+                            if last_saved_best is not None:
+                                import shutil
+
+                                shutil.rmtree(last_saved_best, ignore_errors=True)
+                            best_cd = avg_cd
+                            best_dir = os.path.join(
+                                output_directory, f"pointnet_ckpt_{n_iter}_best_cd"
+                            )
+                            import shutil
+
+                            shutil.copytree(last_saved, best_dir)
+                            last_saved_best = best_dir
+                    # close-to-convergence: save/eval more often
+                    # (train.py:626-631)
+                    if (
+                        task == "refine_completion"
+                        and refine_config.get(
+                            "decrease_epochs_per_ckpt_for_fine_tuning", False
+                        )
+                        and avg_cd <= refine_config.get("cd_loss_thred", 0.0)
+                    ):
+                        iters_per_ckpt = int(
+                            loader_len * refine_config["epochs_per_ckpt_fine_tune"]
+                        )
 
             n_iter += 1
             if n_iter >= n_iters:
