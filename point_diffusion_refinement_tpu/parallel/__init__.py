@@ -19,3 +19,16 @@ __all__ = [
     "shard_params",
     "shard_batch",
 ]
+
+from .multihost import (
+    initialize_distributed,
+    all_gather_host_arrays,
+    barrier,
+    broadcast_scalar,
+)
+__all__ += [
+    "initialize_distributed",
+    "all_gather_host_arrays",
+    "barrier",
+    "broadcast_scalar",
+]
