@@ -1,6 +1,7 @@
 from .loader import (
     restore_string_to_list_in_a_dict,
     load_config,
+    find_config_file,
     DEFAULT_POINTNET_CONFIG,
     tiny_pointnet_config,
 )
@@ -8,6 +9,7 @@ from .loader import (
 __all__ = [
     "restore_string_to_list_in_a_dict",
     "load_config",
+    "find_config_file",
     "DEFAULT_POINTNET_CONFIG",
     "tiny_pointnet_config",
 ]

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ast
 import copy
 import json
+import os
 from typing import Any, Mapping
 
 
@@ -45,6 +46,27 @@ def merge_refine_config(config: dict) -> dict:
             if section in cfg and key in cfg[section]:
                 cfg[section][key] = val
     return cfg
+
+
+def find_config_file(file_name: str) -> str:
+    """Locate a config JSON near a checkpoint directory (util.py:318-347):
+    if the given file doesn't exist, pick the config_*.json in the same
+    directory with the largest number in its name."""
+    import re
+
+    if "config" in file_name and file_name.endswith(".json") and os.path.isfile(file_name):
+        return file_name
+    file_path = file_name if os.path.isdir(file_name) else os.path.split(file_name)[0]
+    files = [f for f in os.listdir(file_path) if "config" in f and f.endswith(".json")]
+    if not files:
+        raise FileNotFoundError(f"no config json under {file_path}")
+    best, best_num = files[0], -1
+    for f in files:
+        nums = [int(n) for n in re.findall(r"\d+", f)]
+        num = max(nums) if nums else -1
+        if num > best_num:
+            best, best_num = f, num
+    return os.path.join(file_path, best)
 
 
 def load_config(path: str) -> dict:

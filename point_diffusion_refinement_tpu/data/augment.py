@@ -83,3 +83,35 @@ def augment_cloud(
         }
         return result, params
     return result
+
+
+def sample_transforms(B: int, args: dict, rng: Optional[np.random.Generator] = None):
+    """Draw B random similarity transforms with augment_cloud's distribution.
+
+    Returns (M (B, 3, 3), t (B, 3), M_inv (B, 3, 3)) for the batched native
+    path (data/native.py): p' = p @ M^T + t.
+    """
+    rng = rng or np.random.default_rng()
+    Ms = np.empty((B, 3, 3), np.float32)
+    ts = np.zeros((B, 3), np.float32)
+    translation_sigma = args.get("translation_magnitude", 0)
+    translation_sigma = max(args.get("pc_augm_scale", 1), 1) * translation_sigma
+    for b in range(B):
+        M = np.eye(3)
+        if args.get("pc_augm_scale", 0) > 1:
+            s = rng.uniform(1.0 / args["pc_augm_scale"], args["pc_augm_scale"])
+            M = (np.eye(3) * s) @ M
+        if args.get("pc_augm_rot", False) and args.get("pc_rot_scale", 0) > 0:
+            angle = rng.uniform(-math.pi, math.pi) * args["pc_rot_scale"] / 180.0
+            M = _rot_y(angle) @ M
+        mp = args.get("pc_augm_mirror_prob", 0)
+        if mp > 0:
+            if rng.random() < mp / 2:
+                M = _mirror(0) @ M
+            if rng.random() < mp / 2:
+                M = _mirror(2) @ M
+        Ms[b] = M.astype(np.float32)
+        if translation_sigma > 0:
+            ts[b] = rng.normal(scale=translation_sigma, size=3).astype(np.float32)
+    M_inv = np.linalg.inv(np.transpose(Ms, (0, 2, 1))).astype(np.float32)
+    return Ms, ts, M_inv

@@ -241,6 +241,44 @@ class MVPDataset:
         return result
 
 
+def get_batch_fast(dataset: "MVPDataset", idx: np.ndarray) -> Optional[dict]:
+    """Batched collation + augmentation through the native C++ kernels
+    (data/native.py): one gather per array, one similarity pass per cloud
+    set — replaces per-item numpy augmentation (the torch DataLoader worker
+    hot path in the reference).  Returns None when the per-item path is
+    required (jitter or generated-sample noise enabled)."""
+    from .augment import sample_transforms
+    from .native import apply_similarity, gather_rows
+
+    aug = dataset.cfg.augmentation
+    if isinstance(aug, dict) and (
+        aug.get("pc_augm_jitter", False)
+        or aug.get("noise_magnitude_for_generated_samples", 0) > 0
+    ):
+        return None
+
+    idx = np.asarray(idx, np.int64)
+    batch = {"partial": gather_rows(dataset.input_data, idx)}
+    batch["complete"] = gather_rows(dataset.gt_data, dataset.partial_to_gt[idx])
+    if dataset.generated_sample is not None:
+        batch["generated"] = gather_rows(dataset.generated_sample, idx)
+    if dataset.generated_XT is not None:
+        batch["XT"] = gather_rows(dataset.generated_XT, idx)
+
+    if isinstance(aug, dict):
+        M, t, M_inv = sample_transforms(len(idx), aug, dataset.rng)
+        for k in list(batch.keys()):
+            batch[k] = apply_similarity(batch[k], M, t)
+        if dataset.cfg.return_augmentation_params:
+            batch["M_inv"] = M_inv
+            batch["translation"] = t[:, None, :]
+    elif dataset.cfg.return_augmentation_params:
+        batch["M_inv"] = np.broadcast_to(np.eye(3, dtype=np.float32), (len(idx), 3, 3)).copy()
+        batch["translation"] = np.zeros((len(idx), 1, 3), np.float32)
+    batch["label"] = dataset.labels[idx]
+    return batch
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -248,7 +286,8 @@ def iterate_batches(
     drop_last: bool = False,
     seed: Optional[int] = None,
 ) -> Iterator[dict]:
-    """Stack per-item dicts into fixed-size numpy batches."""
+    """Fixed-size numpy batches; uses the native batched collation path when
+    the dataset supports it, falling back to per-item assembly."""
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -257,8 +296,12 @@ def iterate_batches(
         idx = order[i : i + batch_size]
         if drop_last and len(idx) < batch_size:
             return
-        items = [dataset[int(j)] for j in idx]
-        batch = {
-            k: np.stack([it[k] for it in items]) for k in items[0].keys()
-        }
+        batch = None
+        if isinstance(dataset, MVPDataset):
+            batch = get_batch_fast(dataset, idx)
+        if batch is None:
+            items = [dataset[int(j)] for j in idx]
+            batch = {
+                k: np.stack([it[k] for it in items]) for k in items[0].keys()
+            }
         yield batch

@@ -3,7 +3,7 @@ upsampling, and the building-block modules."""
 
 from .common import ConditionedMLP, PartialGroupNorm, SharedMLP, pool_features, swish
 from .attention import AttentionPool, GlobalSelfAttention
-from .grouping import query_and_group, group_knn_features, Grouped
+from .grouping import query_and_group, group_knn_features, group_all, Grouped
 from .pnet import Pnet2Stage
 from .modules import (
     SetAbstraction,
@@ -26,6 +26,7 @@ __all__ = [
     "GlobalSelfAttention",
     "query_and_group",
     "group_knn_features",
+    "group_all",
     "Grouped",
     "Pnet2Stage",
     "SetAbstraction",

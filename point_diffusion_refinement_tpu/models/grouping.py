@@ -91,6 +91,21 @@ def query_and_group(
     return Grouped(jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0], counts)
 
 
+def group_all(
+    xyz: jax.Array, features: Optional[jax.Array], use_xyz: bool = True
+) -> Grouped:
+    """Group every point into one group — GroupAll
+    (pointnet2_utils.py:441-484): output (B, 1, N, C [+3])."""
+    grouped_xyz = xyz[:, None, :, :]  # (B, 1, N, 3)
+    if features is not None:
+        grouped = features[:, None, :, :]
+        if use_xyz:
+            grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+    else:
+        grouped = grouped_xyz
+    return Grouped(grouped, "all")
+
+
 def group_knn_features(
     x: jax.Array, y: jax.Array, features_at_y: jax.Array, k: int
 ) -> jax.Array:

@@ -72,6 +72,8 @@ def run_generation(
     batch_size: Optional[int] = None,
     t_slices=None,
     compute_emd: bool = True,
+    use_a_precomputed_XT: bool = False,
+    T_step: int = 100,
 ):
     """Generate coarse clouds (+metrics) for a phase; loops trials for the
     augmented-trainset generation used to train the refinement network
@@ -139,6 +141,7 @@ def run_generation(
             make_coarse_sampler(
                 model, schedule, num_points=npoints, fast_plan=plan,
                 t_slices=t_slices,
+                warm_start_step=T_step if use_a_precomputed_XT else None,
             )
         )
 
@@ -168,8 +171,14 @@ def run_generation(
 
         def gen_fn(batch):
             rng_holder[0], k = jax.random.split(rng_holder[0])
+            XT = (
+                jnp.asarray(batch["XT"])
+                if use_a_precomputed_XT and "XT" in batch
+                else None
+            )
             return sampler(
-                params, k, jnp.asarray(batch["partial"]), jnp.asarray(batch["label"])
+                params, k, jnp.asarray(batch["partial"]),
+                jnp.asarray(batch["label"]), XT,
             )
 
         from ..data import iterate_batches
