@@ -52,7 +52,13 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
 
     schedule = diffusion.calc_diffusion_hyperparams(T, 1e-4, 0.02)
-    sampler = jax.jit(make_coarse_sampler(model, schedule, num_points=2048))
+    # segment the reverse process into ~13s device executions: a single
+    # multi-minute execution is fragile on tunneled chips and adds <1%
+    # dispatch overhead when chunked
+    seg = min(T, int(os.environ.get("PDR_BENCH_SEGMENT", "200")))
+    sampler = make_coarse_sampler(
+        model, schedule, num_points=2048, segment_size=seg
+    )
 
     # compile + warmup
     out = sampler(params, jax.random.key(1), cond, label)

@@ -1,7 +1,7 @@
 """Diffusion runtime: schedules, training loss, samplers (ancestral + FastDPM)."""
 
 from .schedule import DiffusionSchedule, calc_diffusion_hyperparams, calc_t_emb
-from .ddpm import q_sample, training_loss, sampling, DenoiseFn
+from .ddpm import q_sample, training_loss, sampling, make_segmented_sampler, DenoiseFn
 from .fastdpm import (
     FastSamplingPlan,
     make_fast_sampling_plan,
@@ -19,6 +19,7 @@ __all__ = [
     "q_sample",
     "training_loss",
     "sampling",
+    "make_segmented_sampler",
     "DenoiseFn",
     "FastSamplingPlan",
     "make_fast_sampling_plan",

@@ -115,3 +115,69 @@ def sampling(
     if slices_t:
         return x, {t: slice_buf[i] for i, t in enumerate(slices_t)}
     return x
+
+
+def make_segmented_sampler(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    segment_size: int = 100,
+    t_slices: Optional[Sequence[int]] = None,
+):
+    """Ancestral sampling split into fixed-size device executions.
+
+    Identical math to `sampling`, but the T-step scan runs as ceil(T/S)
+    jitted segment calls with (x, rng, slice_buf) carried on host.  Needed
+    where a single multi-minute device execution is undesirable (RPC
+    deadlines on tunneled chips, preemption windows, progress reporting);
+    one compiled segment is reused for every full-size chunk.
+
+    Returns fn(rng, shape, XT=None, warm_start_step=None) -> x0
+    [, {t: slice}].
+    """
+    slices_t = tuple(int(t) for t in t_slices) if t_slices else ()
+    ts_arr = jnp.asarray(slices_t, dtype=jnp.int32) if slices_t else None
+
+    @jax.jit
+    def run_segment(x, slice_buf, rng, steps):
+        B = x.shape[0]
+
+        def body(carry, t):
+            x, slice_buf, rng = carry
+            rng, rng_z = jax.random.split(rng)
+            ts = jnp.full((B,), t, dtype=jnp.float32)
+            eps = denoise_fn(x, ts)
+            alpha_t = schedule.alpha[t]
+            abar_t = schedule.alpha_bar[t]
+            x = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(
+                alpha_t
+            )
+            if slices_t:
+                hit = (ts_arr == t)[:, None, None, None]
+                slice_buf = jnp.where(hit, x[None], slice_buf)
+            z = jax.random.normal(rng_z, x.shape, dtype=x.dtype)
+            x = x + jnp.where(t > 0, schedule.sigma[t], 0.0) * z
+            return (x, slice_buf, rng), None
+
+        (x, slice_buf, rng), _ = jax.lax.scan(body, (x, slice_buf, rng), steps)
+        return x, slice_buf, rng
+
+    def sampler(rng, shape, XT=None, warm_start_step=None):
+        rng_init, rng_loop = jax.random.split(rng)
+        if XT is not None:
+            assert warm_start_step is not None
+            z = jax.random.normal(rng_init, shape, dtype=jnp.float32)
+            x = XT + schedule.sigma[warm_start_step] * z
+            start = warm_start_step - 1
+        else:
+            x = jax.random.normal(rng_init, shape, dtype=jnp.float32)
+            start = schedule.T - 1
+        slice_buf = jnp.zeros((len(slices_t),) + tuple(shape), dtype=jnp.float32)
+        steps = list(range(start, -1, -1))
+        for i in range(0, len(steps), segment_size):
+            chunk = jnp.asarray(steps[i : i + segment_size], dtype=jnp.int32)
+            x, slice_buf, rng_loop = run_segment(x, slice_buf, rng_loop, chunk)
+        if slices_t:
+            return x, {t: slice_buf[i] for i, t in enumerate(slices_t)}
+        return x
+
+    return sampler
