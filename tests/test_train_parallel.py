@@ -218,3 +218,55 @@ class TestSegmentedSampling:
         out, slices = seg(params, jax.random.key(0), cond, label)
         assert set(slices) == {2, 7}
         assert slices[2].shape == out.shape
+
+
+class TestTrainLoopEval:
+    def test_eval_in_loop_writes_records(self, tmp_path):
+        """Full config-driven training with eval-in-loop on synthetic data:
+        checkpoints + eval pickles + gathered result must appear."""
+        import os
+
+        from point_diffusion_refinement_tpu.data import write_mvp_style_h5
+        from point_diffusion_refinement_tpu.train.loop import train
+
+        data_dir = write_mvp_style_h5(
+            str(tmp_path / "mvp"), num_shapes=2, npoints=48, partial_points=32
+        )
+        config = {
+            "diffusion_config": {"T": 8, "beta_0": 1e-4, "beta_T": 0.02},
+            "pointnet_config": {**tiny_pointnet_config(), "model_name": "loop_eval"},
+            "train_config": {
+                "task": "completion",
+                "root_directory": str(tmp_path / "exp"),
+                "output_directory": "ckpt",
+                "tensorboard_directory": "tb",
+                "ckpt_iter": "max",
+                "epochs_per_ckpt": 1,
+                "iters_per_logging": 100,
+                "n_epochs": 1,
+                "learning_rate": 1e-3,
+                "conditioned_on_cloud": True,
+                "compute_emd": False,
+            },
+            "mvp_dataset_config": {
+                "data_dir": data_dir,
+                "npoints": 48,
+                "scale": 1,
+                "batch_size": 16,
+                "eval_batch_size": 16,
+                "num_samples_tested": 16,
+            },
+        }
+        res = train(config)
+        ck = res["output_directory"]
+        assert any(d.startswith("pointnet_ckpt_") for d in os.listdir(ck))
+        assert res["eval_records"]["iter"], "eval never ran"
+        eval_dir = os.path.join(os.path.dirname(os.path.dirname(ck)), "loop_eval")
+        # gathered file lives under <root>/<local_path>/eval_result
+        import glob
+
+        gathered = glob.glob(
+            os.path.join(config["train_config"]["root_directory"], "**",
+                         "gathered_eval_result.pkl"), recursive=True,
+        )
+        assert gathered, "gathered eval result missing"
