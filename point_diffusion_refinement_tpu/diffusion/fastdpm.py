@@ -11,7 +11,6 @@ host-side into arrays — the TPU never sees data-dependent control flow.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,9 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..diffusion.schedule import calc_t_emb
-from .attention import AttentionPool, GlobalSelfAttention  # noqa: F401 (re-export)
-from .common import ConditionedMLP, PartialGroupNorm, swish, ACTIVATIONS
-from .model_config import FrozenCfg, freeze_config
+from .common import swish, ACTIVATIONS
+from .model_config import freeze_config
 from .modules import (
     FeaturePropagation,
     FeatureTransfer,

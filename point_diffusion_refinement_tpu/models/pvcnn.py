@@ -22,7 +22,6 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..diffusion.schedule import calc_t_emb
 from ..ops.neighbors import ball_query

@@ -98,7 +98,7 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 
 # rows-per-chunk bound for the fused one-hot matmul gather (caps the
 # (B, CH, N) one-hot intermediate XLA fuses into the matmul)
-_GROUP_CHUNK = 8192
+_GROUP_CHUNK = 1 << 30  # effectively single-chunk: XLA fuses the one-hot
 
 
 def _group_points_onehot(points: jax.Array, idx: jax.Array) -> jax.Array:

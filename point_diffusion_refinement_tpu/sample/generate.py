@@ -12,7 +12,6 @@ all-gather).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax

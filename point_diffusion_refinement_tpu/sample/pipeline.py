@@ -17,14 +17,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config.loader import load_config
 from ..diffusion import calc_diffusion_hyperparams, make_fast_sampling_plan
-from ..train.checkpoints import find_max_epoch, load_checkpoint, maybe_resume
+from ..train.checkpoints import find_max_epoch, maybe_resume
 from ..train.loop import build_model, local_experiment_path, make_dataset
 from .evaluate import evaluate
-from .generate import make_coarse_sampler, make_refiner
+from .generate import make_coarse_sampler
 
 
 def generation_save_dir(
@@ -74,6 +73,7 @@ def run_generation(
     compute_emd: bool = True,
     use_a_precomputed_XT: bool = False,
     T_step: int = 100,
+    segment_size: Optional[int] = 200,
 ):
     """Generate coarse clouds (+metrics) for a phase; loops trials for the
     augmented-trainset generation used to train the refinement network
@@ -137,13 +137,17 @@ def run_generation(
         bs = batch_size or ts_cfg.get("eval_batch_size", 32)
 
         npoints = ts_cfg.get("npoints", 2048)
-        sampler = jax.jit(
-            make_coarse_sampler(
-                model, schedule, num_points=npoints, fast_plan=plan,
-                t_slices=t_slices,
-                warm_start_step=T_step if use_a_precomputed_XT else None,
-            )
+        # segment long ancestral schedules into bounded device executions;
+        # FastDPM plans are short, keep them as one jitted program
+        seg = None if fast_sampling else segment_size
+        sampler = make_coarse_sampler(
+            model, schedule, num_points=npoints, fast_plan=plan,
+            t_slices=t_slices,
+            warm_start_step=T_step if use_a_precomputed_XT else None,
+            segment_size=seg,
         )
+        if seg is None:
+            sampler = jax.jit(sampler)
 
         if state_override is None:
             # need an example state pytree: init params from one batch

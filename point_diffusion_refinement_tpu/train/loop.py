@@ -14,14 +14,12 @@ Differences by design (TPU-native):
 from __future__ import annotations
 
 import os
-import pickle
 import time
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..config.loader import load_config
 from ..data import MVPDataset, MVPDatasetConfig, iterate_batches
@@ -30,10 +28,9 @@ from ..models import PointNet2CloudCondition, PointwiseNet
 from ..parallel import make_mesh, shard_batch
 from ..sample import evaluate, make_coarse_sampler, make_refiner
 from ..utils import AverageMeter, TensorBoardLogger
-from .checkpoints import find_max_epoch, maybe_resume, save_checkpoint
+from .checkpoints import maybe_resume, save_checkpoint
 from .scheduler import QuantityScheduler
 from .step import (
-    TrainState,
     create_train_state,
     jit_step_for_mesh,
     make_completion_train_step,
@@ -232,9 +229,16 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
         )
         bs = trainset_config.get("eval_batch_size", 32)
         if task == "completion":
-            sampler = jax.jit(
-                make_coarse_sampler(model, schedule, num_points=trainset_config.get("npoints", 2048))
+            # segment long schedules into bounded device executions (see
+            # sample/generate.py); short ones run as one jitted program
+            seg = 200 if schedule.T > 200 else None
+            sampler = make_coarse_sampler(
+                model, schedule,
+                num_points=trainset_config.get("npoints", 2048),
+                segment_size=seg,
             )
+            if seg is None:
+                sampler = jax.jit(sampler)
             rng_holder = [jax.random.key(4242 + n_iter_now)]
 
             def gen_fn(batch):

@@ -11,7 +11,7 @@ already averaged (the reference's `reduce_tensor`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
