@@ -98,11 +98,9 @@ def run_generation(
             it = find_max_epoch(ckpt_path, ckpt_iter)
         else:
             it = int(ckpt_iter)
-        # params-only restore: build an abstract example lazily from init
-        raise_if = it < 0
-        if raise_if:
+        if it < 0:
             raise FileNotFoundError(f"no checkpoint under {ckpt_path}")
-        state = None  # loaded per trial below with an example state
+        state = None  # restored below once an example state pytree exists
         ckpt_dir = ckpt_path
 
     plan = None
