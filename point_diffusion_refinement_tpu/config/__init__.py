@@ -13,3 +13,6 @@ __all__ = [
     "DEFAULT_POINTNET_CONFIG",
     "tiny_pointnet_config",
 ]
+
+from .exp_configs import EXPERIMENTS, ddpm_config, refine_config, write_all
+__all__ += ["EXPERIMENTS", "ddpm_config", "refine_config", "write_all"]
