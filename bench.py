@@ -65,11 +65,16 @@ def main():
     jax.block_until_ready(out)
 
     times = []
-    for i in range(REPEATS):
-        t0 = time.perf_counter()
-        out = sampler(params, jax.random.key(2 + i), cond, label)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    attempts = 0
+    while len(times) < REPEATS and attempts < REPEATS + 2:
+        attempts += 1
+        try:
+            t0 = time.perf_counter()
+            out = sampler(params, jax.random.key(2 + attempts), cond, label)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        except Exception as e:  # transient tunnel/device flake: retry
+            print(f"# bench attempt {attempts} failed: {e}", flush=True)
     dt = min(times)
     completions_per_sec = B / dt
     # normalize to the reference's T=1000 step count if benching a shorter T

@@ -211,3 +211,19 @@ class TestNativeBatchPath:
                           b["partial"][..., :3] - b["translation"], b["M_inv"])
         np.testing.assert_allclose(rec_p, ds.input_data[idx][..., :3],
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestExperimentConfigs:
+    def test_all_shipped_configs_roundtrip_and_build(self, tmp_path):
+        from point_diffusion_refinement_tpu.config import load_config, write_all
+        from point_diffusion_refinement_tpu.train.loop import build_model
+
+        paths = write_all(str(tmp_path))
+        assert len(paths) == 6
+        for p in paths:
+            cfg = load_config(p)
+            build_model(cfg["pointnet_config"])
+        # upsample config carries the right head factor
+        up = load_config(str(tmp_path / "config_upsample_16384.json"))
+        assert up["pointnet_config"]["point_upsample_factor"] == 8
+        assert up["refine_config"]["cd_loss_thred"] == 0.0003
