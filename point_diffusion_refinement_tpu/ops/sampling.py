@@ -96,37 +96,26 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     return points[jnp.arange(B)[:, None], idx, :]
 
 
-# rows-per-chunk bound for the fused one-hot matmul gather (caps the
-# (B, CH, N) one-hot intermediate XLA fuses into the matmul)
-_GROUP_CHUNK = 1 << 30  # effectively single-chunk: XLA fuses the one-hot
-
-
 def _group_points_onehot(points: jax.Array, idx: jax.Array) -> jax.Array:
     """TPU grouping as a one-hot matmul on the MXU.
 
     XLA lowers multi-index gathers to scalar kLoop fusions on TPU
     (~14 GB/s measured); contracting a fused one-hot against the point table
-    runs ~19x faster.  The f32 rows are split hi/lo into two bfloat16
-    matmuls so the reconstruction keeps ~16 mantissa bits (the one-hot
-    factor is exact in bf16).  The VJP is the transposed matmul — an
-    MXU-friendly scatter-add.
+    runs ~19x faster.  The 4D einsum emits the (B, M, K, C) result directly
+    (the 2D form + reshape costs an extra relayout pass).  XLA fuses the
+    one-hot into the contraction — the (B, M, K, N) factor never
+    materializes.  The f32 rows are split hi/lo into two bfloat16 matmuls so
+    the reconstruction keeps ~16 mantissa bits (the one-hot factor is exact
+    in bf16).  The VJP is the transposed matmul — an MXU-friendly
+    scatter-add.
     """
-    B, N, C = points.shape
-    _, M, K = idx.shape
-    flat = idx.reshape(B, M * K)
+    N = points.shape[1]
     hi = points.astype(jnp.bfloat16)
     lo = (points - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    total = M * K
-    outs = []
-    for i in range(0, total, _GROUP_CHUNK):
-        chunk = flat[:, i : i + _GROUP_CHUNK]
-        oh = jax.nn.one_hot(chunk, N, dtype=jnp.bfloat16)
-        g = jnp.einsum(
-            "bmn,bnc->bmc", oh, hi, preferred_element_type=jnp.float32
-        ) + jnp.einsum("bmn,bnc->bmc", oh, lo, preferred_element_type=jnp.float32)
-        outs.append(g)
-    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-    return out.reshape(B, M, K, C)
+    oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)  # (B, M, K, N), fused
+    return jnp.einsum(
+        "bmkn,bnc->bmkc", oh, hi, preferred_element_type=jnp.float32
+    ) + jnp.einsum("bmkn,bnc->bmkc", oh, lo, preferred_element_type=jnp.float32)
 
 
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
