@@ -36,6 +36,7 @@ def query_and_group(
     include_abs_coordinate: bool = False,
     include_center_coordinate: bool = False,
     subset: bool = True,
+    lossy_features: bool = False,
 ) -> Grouped:
     """Ball-query or kNN grouping with positional channels.
 
@@ -77,7 +78,7 @@ def query_and_group(
         grouped_xyz = jnp.concatenate([grouped_xyz, c], axis=-1)
 
     if features is not None:
-        grouped_features = group_points(features, idx)  # (B, M, K, C)
+        grouped_features = group_points(features, idx, lossy=lossy_features)
         if not subset and neighbor_def == "radius":
             grouped_features = have * grouped_features  # zero-feature default
         if use_xyz:
@@ -107,7 +108,8 @@ def group_all(
 
 
 def group_knn_features(
-    x: jax.Array, y: jax.Array, features_at_y: jax.Array, k: int
+    x: jax.Array, y: jax.Array, features_at_y: jax.Array, k: int,
+    lossy_features: bool = False,
 ) -> jax.Array:
     """kNN gather producing the (C+11)-channel features of group_knn
     (pointnet2_utils.py:487-514).
@@ -122,7 +124,7 @@ def group_knn_features(
       (B, N1, K, C+11).
     """
     dist, idx = knn(x, y, k)  # squared distances, like pytorch3d knn_points
-    neigh_feats = group_points(features_at_y, idx)  # (B, N1, K, C)
+    neigh_feats = group_points(features_at_y, idx, lossy=lossy_features)
     nn_abs = group_points(y, idx)  # (B, N1, K, 3)
     x_rep = jnp.broadcast_to(x[:, :, None, :], nn_abs.shape)
     nn_rel = nn_abs - x_rep

@@ -79,6 +79,7 @@ class SetAbstraction(nn.Module):
             include_abs_coordinate=self.include_abs_coordinate,
             include_center_coordinate=self.include_center_coordinate,
             subset=True,
+            lossy_features=self.dtype is not None,
         )
         out = ConditionedMLP(
             tuple(self.mlp),
@@ -272,7 +273,10 @@ class KnnFeaturePropagation(nn.Module):
 
         if known is not None:
             k = min(self.k, known.shape[1])
-            grouped = group_knn_features(unknown, known, known_feats, k)
+            grouped = group_knn_features(
+                unknown, known, known_feats, k,
+                lossy_features=self.dtype is not None,
+            )
             out1 = ConditionedMLP(
                 tuple(self.mlp1),
                 include_t=False,
@@ -403,6 +407,7 @@ class FeatureTransfer(nn.Module):
             include_abs_coordinate=self.include_abs_coordinate,
             include_center_coordinate=self.include_center_coordinate,
             subset=subset,
+            lossy_features=self.dtype is not None,
         )
         out = ConditionedMLP(
             tuple(self.mlp),

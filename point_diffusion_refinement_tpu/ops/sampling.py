@@ -96,7 +96,7 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     return points[jnp.arange(B)[:, None], idx, :]
 
 
-def _group_points_onehot(points: jax.Array, idx: jax.Array) -> jax.Array:
+def _group_points_onehot(points: jax.Array, idx: jax.Array, lossy: bool = False) -> jax.Array:
     """TPU grouping as a one-hot matmul on the MXU.
 
     XLA lowers multi-index gathers to scalar kLoop fusions on TPU
@@ -110,24 +110,30 @@ def _group_points_onehot(points: jax.Array, idx: jax.Array) -> jax.Array:
     scatter-add.
     """
     N = points.shape[1]
-    hi = points.astype(jnp.bfloat16)
-    lo = (points - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)  # (B, M, K, N), fused
-    return jnp.einsum(
-        "bmkn,bnc->bmkc", oh, hi, preferred_element_type=jnp.float32
-    ) + jnp.einsum("bmkn,bnc->bmkc", oh, lo, preferred_element_type=jnp.float32)
+    hi = points.astype(jnp.bfloat16)
+    out = jnp.einsum("bmkn,bnc->bmkc", oh, hi, preferred_element_type=jnp.float32)
+    if lossy:
+        # rows feed bf16 compute anyway: one matmul, bf16-rounded values
+        return out
+    lo = (points - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return out + jnp.einsum(
+        "bmkn,bnc->bmkc", oh, lo, preferred_element_type=jnp.float32
+    )
 
 
-def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+def group_points(points: jax.Array, idx: jax.Array, lossy: bool = False) -> jax.Array:
     """Gather neighbor groups: (B, N, C) x (B, M, K) -> (B, M, K, C).
 
     Channels-last analogue of ``grouping_operation``
     (pointnet2_utils.py:222-268).  One-hot MXU matmul on TPU; exact
-    take_along_axis elsewhere.
+    take_along_axis elsewhere.  `lossy=True` permits bf16-rounded values
+    (used for feature gathers in bf16-compute models; positions always stay
+    high-precision).
     """
     B, M, K = idx.shape
     if _use_pallas():
-        return _group_points_onehot(points, idx)
+        return _group_points_onehot(points, idx, lossy=lossy)
     flat = idx.reshape(B, M * K)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(B, M, K, points.shape[-1])
