@@ -153,3 +153,61 @@ class TestEvaluateLoop:
             unaugment_results=True, compute_emd=False, print_every=100,
         )
         assert res.avg_cd < 1e-10
+
+
+class TestGenerationPipeline:
+    def test_run_generation_with_overrides(self, tmp_path, rng_np):
+        """run_generation end-to-end: trained-state override + synthetic
+        dataset, FastDPM, h5 output in the reference taxonomy."""
+        import glob
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from point_diffusion_refinement_tpu.config import tiny_pointnet_config
+        from point_diffusion_refinement_tpu.data import (
+            MVPDataset,
+            MVPDatasetConfig,
+            write_mvp_style_h5,
+        )
+        from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
+        from point_diffusion_refinement_tpu.sample.pipeline import run_generation
+        from point_diffusion_refinement_tpu.train import create_train_state
+
+        data_dir = write_mvp_style_h5(
+            str(tmp_path / "mvp"), num_shapes=2, npoints=48, partial_points=32
+        )
+        config = {
+            "diffusion_config": {"T": 8, "beta_0": 1e-4, "beta_T": 0.02},
+            "pointnet_config": {**tiny_pointnet_config(), "model_name": "pipe"},
+            "train_config": {"task": "completion", "root_directory": str(tmp_path)},
+            "mvp_dataset_config": {
+                "data_dir": data_dir, "npoints": 48, "scale": 1,
+                "eval_batch_size": 16,
+            },
+        }
+        model = PointNet2CloudCondition.from_config(config["pointnet_config"])
+        ds = MVPDataset(MVPDatasetConfig(data_dir=data_dir, train=False, npoints=48))
+        x = jnp.zeros((1, 48, 3))
+        cond = jnp.zeros((1, 32, 3))
+        params = model.init(
+            jax.random.key(0), x, cond, jnp.zeros((1,)), jnp.zeros((1,), jnp.int32)
+        )
+        state, _ = create_train_state(params, jax.random.key(1))
+        results = run_generation(
+            config,
+            phase="test",
+            fast_sampling=True,
+            fast_sampling_config={"length": 3},
+            state_override=state,
+            dataset_override=ds,
+            base_save_dir=str(tmp_path / "gen"),
+            batch_size=16,
+            compute_emd=False,
+        )
+        assert len(results) == 1
+        assert np.isfinite(results[0].avg_cd)
+        h5s = glob.glob(str(tmp_path / "gen" / "**" / "*.h5"), recursive=True)
+        assert h5s, "no generated h5 written"
+        assert "fast_sampling" in h5s[0]
