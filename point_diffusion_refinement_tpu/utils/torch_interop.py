@@ -2,7 +2,7 @@
 
 Purpose: load the reference's pretrained MVP checkpoints
 (pointnet_ckpt_*.pkl with model_state_dict, train.py:558-563) into this
-framework's parameter tree for fidelity comparisons, and export back.
+framework's parameter tree for fidelity comparisons.
 
 Name mapping is derived from the reference module structure
 (pointnet2_with_pcld_condition.py / pointnet2_modules.py / attention.py):
