@@ -30,7 +30,9 @@ def gather_eval_results(path: str, out_name: str = "gathered_eval_result.pkl") -
     find_max_epoch(mode='best') consumes (util.py:82-93)."""
     records = []
     for f in sorted(os.listdir(path)):
-        if f.startswith("eval_result_ckpt_") and f.endswith(".pkl"):
+        # skip per-rank shard pickles (eval_result_ckpt_{it}_rank_{r}[...].pkl);
+        # only the gathered per-iteration files carry global averages
+        if f.startswith("eval_result_ckpt_") and f.endswith(".pkl") and "_rank_" not in f:
             with open(os.path.join(path, f), "rb") as fh:
                 records.append(pickle.load(fh))
     records.sort(key=lambda r: r["iter"])

@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--no_save", action="store_true")
     p.add_argument("--no_emd", action="store_true")
+    # XT warm start (generate_samples.py:312-315,374-376): resume the reverse
+    # process from a precomputed noisy slice x_{T_step} instead of x_T
+    p.add_argument("--use_a_precomputed_XT", action="store_true")
+    p.add_argument("--T_step", type=int, default=100)
+    p.add_argument("--XT_folder", default=None)
     args = p.parse_args(argv)
 
     config = load_config(args.config)
@@ -55,6 +60,9 @@ def main(argv=None):
         save_generated=not args.no_save,
         batch_size=args.batch_size,
         compute_emd=not args.no_emd,
+        use_a_precomputed_XT=args.use_a_precomputed_XT,
+        T_step=args.T_step,
+        XT_folder=args.XT_folder,
     )
 
 

@@ -14,5 +14,5 @@ __all__ = [
     "tiny_pointnet_config",
 ]
 
-from .exp_configs import EXPERIMENTS, ddpm_config, refine_config, write_all
-__all__ += ["EXPERIMENTS", "ddpm_config", "refine_config", "write_all"]
+from .exp_configs import EXPERIMENTS, ddpm_config, ddpm_avg_max_config, refine_config, write_all
+__all__ += ["EXPERIMENTS", "ddpm_config", "ddpm_avg_max_config", "refine_config", "write_all"]

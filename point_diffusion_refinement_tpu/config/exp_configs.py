@@ -1,8 +1,9 @@
 """Shipped experiment configurations mirroring the reference's
 exp_configs/mvp_configs/*.json (same hyperparameters, native lists).
 
-Six experiments:
+Seven experiments:
   * ddpm            — train the conditional DDPM (T=1000)
+  * ddpm_avg_max    — avg_max pooling + coarse-level global attention variant
   * refine          — refinement net on 10-trial DDPM generations (2048 pts)
   * refine_fast50   — refinement on FastDPM length-50 generations
   * upsample_4096 / upsample_8192 / upsample_16384 — refine + upsample
@@ -87,6 +88,33 @@ def ddpm_config(data_dir: str = "./data/mvp_dataset") -> dict:
     }
 
 
+def ddpm_avg_max_config(data_dir: str = "./data/mvp_dataset") -> dict:
+    """The avg_max-pooling + coarse-level global-attention DDPM variant.
+
+    The reference README's warm-start pipeline uses a checkpoint trained with
+    this configuration (generate_samples.py:273,315:
+    T1000_betaT0.02_shape_completion_avg_max_pooling_...); the JSON itself is
+    not shipped there, so the architecture deltas are reconstructed from the
+    experiment name and the global_attention_setting consumption in
+    pointnet2_ssg_sem.py:86-89."""
+    cfg = ddpm_config(data_dir)
+    pc = cfg["pointnet_config"]
+    pc["model_name"] = (
+        "shape_completion_avg_max_pooling_mirror_rot_90_scale_1.2_translation_0.2"
+    )
+    pc["pooling"] = "avg_max"
+    pc["global_attention_setting"] = {
+        "use_global_attention_module": True,
+        "attention_bn": True,
+        "last_activation": True,
+        "global_attention_layer_index": [2, 3],  # coarsest SA levels only
+    }
+    aug = cfg["mvp_dataset_config"]["augmentation"]
+    if "translation_magnitude" in aug:
+        aug["translation_magnitude"] = 0.2
+    return cfg
+
+
 def refine_config(
     data_dir: str = "./data/mvp_dataset",
     generated_sample_path: str = (
@@ -137,6 +165,7 @@ def refine_config(
 
 EXPERIMENTS = {
     "ddpm": lambda: ddpm_config(),
+    "ddpm_avg_max": lambda: ddpm_avg_max_config(),
     "refine": lambda: refine_config(),
     "refine_fast50": lambda: refine_config(
         cd_loss_thred=0.00062, fast_sampling=True,

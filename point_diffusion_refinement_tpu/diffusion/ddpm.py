@@ -118,10 +118,11 @@ def sampling(
 
 
 def make_segmented_sampler(
-    denoise_fn: DenoiseFn,
+    denoise_apply: Callable,
     schedule: DiffusionSchedule,
     segment_size: int = 100,
     t_slices: Optional[Sequence[int]] = None,
+    mesh=None,
 ):
     """Ancestral sampling split into fixed-size device executions.
 
@@ -129,23 +130,46 @@ def make_segmented_sampler(
     jitted segment calls with (x, rng, slice_buf) carried on host.  Needed
     where a single multi-minute device execution is undesirable (RPC
     deadlines on tunneled chips, preemption windows, progress reporting);
-    one compiled segment is reused for every full-size chunk.
+    one compiled segment is reused for every full-size chunk AND for every
+    batch: `params` and `batch_ctx` are traced arguments, not closure
+    constants.
 
-    Returns fn(rng, shape, XT=None, warm_start_step=None) -> x0
-    [, {t: slice}].
+    Args:
+      denoise_apply: fn(params, batch_ctx, x, ts) -> eps.  `batch_ctx` is an
+        arbitrary pytree of per-batch loop invariants (labels, pre-encoded
+        condition features — the reference's `use_retained_condition_feature`
+        cache, pointnet2_with_pcld_condition.py:364-369, made structural).
+      mesh: optional jax.sharding.Mesh.  When given, the diffusion state is
+        sharded batch-first over the mesh's data axis so the reverse process
+        runs data-parallel on all chips (replaces the reference's per-GPU
+        generation subprocesses, generate_samples_distributed.py:186-203).
+        `params` should be replicated (or parameter-sharded) and `batch_ctx`
+        batch-sharded by the caller; x / slice buffers are constrained here.
+
+    Returns fn(params, batch_ctx, rng, shape, XT=None, warm_start_step=None)
+    -> x0 [, {t: slice}].
     """
     slices_t = tuple(int(t) for t in t_slices) if t_slices else ()
     ts_arr = jnp.asarray(slices_t, dtype=jnp.int32) if slices_t else None
 
+    bsh = slice_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        bsh = NamedSharding(mesh, P(DATA_AXIS))
+        slice_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+
     @jax.jit
-    def run_segment(x, slice_buf, rng, steps):
+    def run_segment(params, batch_ctx, x, slice_buf, rng, steps):
         B = x.shape[0]
 
         def body(carry, t):
             x, slice_buf, rng = carry
             rng, rng_z = jax.random.split(rng)
             ts = jnp.full((B,), t, dtype=jnp.float32)
-            eps = denoise_fn(x, ts)
+            eps = denoise_apply(params, batch_ctx, x, ts)
             alpha_t = schedule.alpha[t]
             abar_t = schedule.alpha_bar[t]
             x = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(
@@ -161,7 +185,7 @@ def make_segmented_sampler(
         (x, slice_buf, rng), _ = jax.lax.scan(body, (x, slice_buf, rng), steps)
         return x, slice_buf, rng
 
-    def sampler(rng, shape, XT=None, warm_start_step=None):
+    def sampler(params, batch_ctx, rng, shape, XT=None, warm_start_step=None):
         rng_init, rng_loop = jax.random.split(rng)
         if XT is not None:
             assert warm_start_step is not None
@@ -172,10 +196,15 @@ def make_segmented_sampler(
             x = jax.random.normal(rng_init, shape, dtype=jnp.float32)
             start = schedule.T - 1
         slice_buf = jnp.zeros((len(slices_t),) + tuple(shape), dtype=jnp.float32)
+        if mesh is not None:
+            x = jax.device_put(x, bsh)
+            slice_buf = jax.device_put(slice_buf, slice_sh)
         steps = list(range(start, -1, -1))
         for i in range(0, len(steps), segment_size):
             chunk = jnp.asarray(steps[i : i + segment_size], dtype=jnp.int32)
-            x, slice_buf, rng_loop = run_segment(x, slice_buf, rng_loop, chunk)
+            x, slice_buf, rng_loop = run_segment(
+                params, batch_ctx, x, slice_buf, rng_loop, chunk
+            )
         if slices_t:
             return x, {t: slice_buf[i] for i, t in enumerate(slices_t)}
         return x

@@ -72,8 +72,19 @@ class AttentionPool(nn.Module):
 
 class GlobalSelfAttention(nn.Module):
     """Full NxN self-attention with pairwise-concat MLP scores
-    (GlobalAttentionModule, attention.py:98-154).  O(N^2 C) — the reference
-    restricts it to the coarsest SA levels.
+    (GlobalAttentionModule, attention.py:98-154).
+
+    Reference quirk, reproduced for value/checkpoint parity (verified in
+    tests/test_reference_parity.py): the reference's final combine is
+    ``(value.unsqueeze(-1) * weight).sum(dim=-1)`` — value is indexed by the
+    QUERY axis and broadcast over the key axis, so the softmax-normalized
+    sum collapses to exactly ``value``.  The module's observable behavior is
+    value_conv (+ norm/relu); the NxN score branch never influences the
+    output.  We keep the score parameters (so reference checkpoints convert
+    1:1) but skip the dead O(N^2 C) compute the reference burns.
+
+    Set ``true_attention=True`` for the (non-reference) fixed semantics that
+    actually attends over keys — available for new models.
 
     Input feat (B, N, C + additional_dim) where the trailing additional_dim
     channels are raw coordinates; output (B, N, C).
@@ -82,6 +93,7 @@ class GlobalSelfAttention(nn.Module):
     features: int  # C (without additional_dim)
     attention_bn: bool = True
     last_activation: bool = True
+    true_attention: bool = False
 
     @nn.compact
     def __call__(self, feat):
@@ -93,6 +105,20 @@ class GlobalSelfAttention(nn.Module):
             if self.attention_bn:
                 value = PartialGroupNorm(min(32, C))(value)
             value = jnp.maximum(value, 0.0)
+
+        if not self.true_attention:
+            # instantiate the score parameters on a K=1 slice (checkpoint
+            # shape-compatible); the result is unused and DCE'd by XLA
+            qk1 = jnp.concatenate([query[:, :, None, :], key[:, :1, None, :].repeat(query.shape[1], axis=1)], axis=-1)
+            h = jnp.maximum(qk1, 0.0)
+            if self.attention_bn:
+                h = PartialGroupNorm(min(32, 2 * C))(h)
+            h = nn.Dense(C)(h)
+            h = jnp.maximum(h, 0.0)
+            if self.attention_bn:
+                h = PartialGroupNorm(min(32, C))(h)
+            nn.Dense(C)(h)
+            return value
 
         N = feat.shape[1]
         qk = jnp.concatenate(

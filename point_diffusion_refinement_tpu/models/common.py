@@ -27,9 +27,14 @@ class PartialGroupNorm(nn.Module):
     """GroupNorm over the first ``C - C % num_groups`` channels; trailing
     channels (appended raw positions) pass through untouched.
 
-    Mirrors MyGroupNorm (pointnet2_modules.py:23-40): statistics are computed
-    per (sample, group) over the group's channels and all spatial axes,
-    matching torch.nn.GroupNorm on BCHW.
+    Mirrors MyGroupNorm (pointnet2_modules.py:23-40) exactly, including its
+    corner case: with C < num_groups, ``C - C % num_groups == 0`` and NO
+    channel is normalized (torch builds a GroupNorm over 0 channels).  The
+    reference's bn_first=False layers construct MyGroupNorm(32, C) without a
+    min, so narrow layers silently skip normalization — reproduced here for
+    checkpoint parity (value-verified in tests/test_reference_parity.py).
+    Statistics are per (sample, group) over the group's channels and all
+    spatial axes, matching torch.nn.GroupNorm on BCHW.
     """
 
     num_groups: int
@@ -37,9 +42,10 @@ class PartialGroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        groups = min(self.num_groups, c)
-        normed_c = c - c % groups
-        gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)  # torch GroupNorm eps
+        normed_c = c - c % self.num_groups
+        if normed_c == 0:
+            return x
+        gn = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5)  # torch eps
         if normed_c == c:
             return gn(x)
         head, tail = x[..., :normed_c], x[..., normed_c:]

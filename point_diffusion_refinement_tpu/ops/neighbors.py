@@ -95,13 +95,16 @@ def ball_query_xla(
 
 def ball_query(xyz, new_xyz, radius, nsample):
     """Ball-query dispatcher: Pallas on TPU (jax.lax.top_k lowers to a full
-    sort there — ~45% of a denoiser step profiled), XLA elsewhere."""
+    sort there — ~45% of a denoiser step profiled), XLA elsewhere.  The
+    kernel's row tile adapts to N; beyond the single-row VMEM envelope we
+    fall back to XLA rather than Mosaic-error."""
     from .sampling import _use_pallas
 
     if _use_pallas():
-        from .pallas_neighbors import ball_query_pallas
+        from .pallas_neighbors import ball_query_pallas, row_tile
 
-        return ball_query_pallas(xyz, new_xyz, radius, nsample)
+        if row_tile(new_xyz.shape[1], xyz.shape[1]) is not None:
+            return ball_query_pallas(xyz, new_xyz, radius, nsample)
     return ball_query_xla(xyz, new_xyz, radius, nsample)
 
 
@@ -124,13 +127,15 @@ def knn_xla(query: jax.Array, points: jax.Array, k: int) -> tuple[jax.Array, jax
 
 
 def knn(query, points, k):
-    """kNN dispatcher: sort-free Pallas kernel on TPU, XLA top_k elsewhere."""
+    """kNN dispatcher: sort-free Pallas kernel on TPU, XLA top_k elsewhere.
+    Same VMEM-envelope fallback rule as ball_query."""
     from .sampling import _use_pallas
 
     if _use_pallas():
-        from .pallas_neighbors import knn_pallas
+        from .pallas_neighbors import knn_pallas, row_tile
 
-        return knn_pallas(query, points, k)
+        if row_tile(query.shape[1], points.shape[1]) is not None:
+            return knn_pallas(query, points, k)
     return knn_xla(query, points, k)
 
 

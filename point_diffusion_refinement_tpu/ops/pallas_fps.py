@@ -31,7 +31,8 @@ from .sampling import PAD_NORM_SQ
 
 def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
     # xyz_ref: (3, B, N) f32; idx_ref: (npoint, B) i32 (row-major per
-    # iteration so the dynamic store is a full (1, B) row); mind_ref: (B, N)
+    # iteration so the dynamic store is a full (1, B) sublane row — Mosaic
+    # cannot prove dynamic LANE indices 128-aligned); mind_ref: (B, N)
     _, B, N = xyz_ref.shape
     x = xyz_ref[0]  # (B, N)
     y = xyz_ref[1]
@@ -66,11 +67,31 @@ def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
     jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
 
 
+# Per-grid-step VMEM budget for the working set (bytes).  The kernel's live
+# set is ~8 (Bt, N) f32 planes (xyz x3, running min, distance, candidate,
+# one-hot/iota temporaries); cap it well under the ~16 MB/core VMEM.
+_FPS_VMEM_BUDGET = 8 * 2 ** 20
+_FPS_PLANES = 8
+
+
+def fps_batch_tile(B: int, N: int) -> int:
+    """Largest batch tile whose (Bt, N) working set fits the VMEM budget."""
+    per_row = N * 4 * _FPS_PLANES
+    return max(1, min(B, _FPS_VMEM_BUDGET // per_row))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def furthest_point_sample_pallas(
     xyz: jax.Array, npoint: int, interpret: bool = False
 ) -> jax.Array:
     """Drop-in Pallas replacement for ops.furthest_point_sample.
+
+    The batch is split into VMEM-sized chunks at the JAX level (one
+    pallas_call per chunk, all sharing one compiled kernel) so the working
+    set fits VMEM at any B — refine+upsample runs B=64 / N=16384.  A grid
+    inside one pallas_call is not usable here: the (npoint, Bt) output block
+    would need a 128-divisible trailing dim, and the transposed layout would
+    need dynamic lane-axis stores Mosaic rejects.
 
     Args:
       xyz: (B, N, 3) positions.
@@ -78,14 +99,26 @@ def furthest_point_sample_pallas(
       (B, npoint) int32 indices.
     """
     B, N, _ = xyz.shape
-    planes = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
+    Bt = min(B, fps_batch_tile(B, N))
     kernel = functools.partial(_fps_kernel, npoint)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((npoint, B), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
-        interpret=interpret,
-    )(planes)
-    return out.T
+
+    def run_chunk(planes_chunk):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((npoint, planes_chunk.shape[1]), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((planes_chunk.shape[1], N), jnp.float32)],
+            interpret=interpret,
+        )(planes_chunk)
+
+    planes = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
+    outs = []
+    for i in range(0, B, Bt):
+        chunk = planes[:, i : i + Bt]
+        if chunk.shape[1] != Bt and B > Bt:
+            # pad the ragged tail so every chunk reuses the same program
+            chunk = jnp.pad(chunk, ((0, 0), (0, Bt - chunk.shape[1]), (0, 0)))
+        outs.append(run_chunk(chunk).T)
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return out[:B]

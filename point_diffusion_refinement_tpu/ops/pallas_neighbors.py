@@ -35,6 +35,34 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Per-grid-step VMEM budget for the (rows, N) working set: ~4 live
+# (rows, N) 4-byte planes (distance, mask/cumsum, shifted temp, iota).
+# Empirical envelope on v5e: 256x3072 compiles (~13 MB under this model),
+# 128x16384 does not (~34 MB) — beyond the budget the dispatcher falls back
+# to XLA instead of hitting a Mosaic compile error.
+_NBR_VMEM_BUDGET = 14 * 2 ** 20
+_NBR_PLANES = 4
+
+
+def row_tile(M: int, N: int):
+    """Row-tile size whose (rows, Np) working set fits the VMEM budget, or
+    None when no legal tile fits (callers fall back to the XLA path).
+
+    Mosaic requires a multi-tile block's last dim (the center/query rows,
+    transposed to lanes) to be 128-divisible, so multi-tile sizes are 256 or
+    128; a single padded tile (block == whole array) may be any multiple
+    of 8."""
+    Np = _round_up(N, 128)
+    cap = _NBR_VMEM_BUDGET // (Np * 4 * _NBR_PLANES)
+    if M > 128:
+        for t in (256, 128):
+            if cap >= t:
+                return t
+        return None
+    t = _round_up(M, 8)
+    return t if t <= cap else None
+
+
 def _cumsum_lanes(x: jax.Array) -> jax.Array:
     """Inclusive cumulative sum along the lane (last) axis via log-shift
     adds (Mosaic has no native scan)."""
@@ -98,7 +126,8 @@ def ball_query_pallas(
     """
     B, N, _ = xyz.shape
     M = new_xyz.shape[1]
-    M_TILE = 256 if M >= 256 else _round_up(M, 8)
+    M_TILE = row_tile(M, N)
+    assert M_TILE is not None, (M, N)  # dispatcher guards the envelope
     Mp = _round_up(M, M_TILE)
     Np = _round_up(N, 128)
 
@@ -168,7 +197,8 @@ def knn_pallas(query: jax.Array, points: jax.Array, k: int,
     """
     B, M, _ = query.shape
     N = points.shape[1]
-    Q_TILE = 256 if M >= 256 else _round_up(M, 8)
+    Q_TILE = row_tile(M, N)
+    assert Q_TILE is not None, (M, N)  # dispatcher guards the envelope
     Mp = _round_up(M, Q_TILE)
     Np = _round_up(N, 128)
 

@@ -69,11 +69,14 @@ def furthest_point_sample_xla(xyz: jax.Array, npoint: int) -> jax.Array:
 def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     """FPS dispatcher: single-kernel Pallas implementation on TPU (the
     per-iteration launch overhead of the XLA while-loop dominates there),
-    pure XLA elsewhere."""
+    pure XLA elsewhere.  The Pallas kernel grid-tiles the batch, so the only
+    hard envelope is a single (1, N) row set fitting VMEM — beyond that we
+    fall back to XLA instead of risking a Mosaic allocation error."""
     if _use_pallas():
-        from .pallas_fps import furthest_point_sample_pallas
+        from .pallas_fps import fps_batch_tile, furthest_point_sample_pallas
 
-        return furthest_point_sample_pallas(xyz, npoint)
+        if fps_batch_tile(xyz.shape[0], xyz.shape[1]) >= 1 and xyz.shape[1] <= 2 ** 18:
+            return furthest_point_sample_pallas(xyz, npoint)
     return furthest_point_sample_xla(xyz, npoint)
 
 

@@ -7,9 +7,11 @@ from .mesh import (
     param_sharding_rule,
     shard_params,
     shard_batch,
+    pad_batch_rows,
 )
 
 __all__ = [
+    "pad_batch_rows",
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",

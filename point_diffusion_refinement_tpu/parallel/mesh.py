@@ -83,3 +83,17 @@ def shard_batch(batch, mesh: Mesh):
     """Place batch arrays on the mesh split over the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_batch_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the leading (batch) axis up to a multiple by repeating the last
+    row, so a ragged final batch still divides over the mesh's data axis.
+    The outputs computed for the padding rows are dropped by the caller —
+    the same resample-to-pad trick the reference dataset uses for its last
+    rank (mvp_dataset.py:172-208)."""
+    arr = np.asarray(arr)
+    rem = arr.shape[0] % multiple
+    if rem == 0:
+        return arr
+    pad = multiple - rem
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)

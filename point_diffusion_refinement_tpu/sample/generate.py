@@ -30,6 +30,7 @@ def make_coarse_sampler(
     t_slices: Optional[Sequence[int]] = None,
     warm_start_step: Optional[int] = None,
     segment_size: Optional[int] = None,
+    mesh=None,
 ):
     """Build a sampler.
 
@@ -43,63 +44,54 @@ def make_coarse_sampler(
     use for very long schedules where a single multi-minute execution is
     fragile (e.g. tunneled chips); do NOT wrap the returned fn in jax.jit
     in that mode.
+
+    With `mesh`, generation runs data-parallel over the mesh's `data` axis:
+    inputs are sharded batch-first, params replicated, and XLA inserts the
+    collectives — the SPMD replacement for the reference's per-GPU
+    DataParallel inference (completion_eval.py:113-118) and per-rank
+    generation subprocesses (generate_samples_distributed.py:186-203).
+    The batch size must divide by the data-axis size (see
+    `pad_batch_rows` in sample/pipeline.py).
     """
 
     slices_t = tuple(int(t) for t in t_slices) if t_slices else ()
-    ts_arr = jnp.asarray(slices_t, dtype=jnp.int32) if slices_t else None
+
+    bsh = rep = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        bsh, rep = batch_sharding(mesh), replicated(mesh)
 
     @jax.jit
     def _encode(params, condition):
         return model.apply(params, condition, method=model.encode_condition)
 
-    @jax.jit
-    def _run_segment(params, label, cond_feats, x, slice_buf, rng, steps):
-        """One chunk of the reverse process; compiled once, reused for every
-        batch and segment (params/features are traced args, not constants)."""
-        B = x.shape[0]
+    def _denoise_apply(params, batch_ctx, x, ts):
+        label, cond_feats = batch_ctx
+        return model.apply(params, x, ts, label, cond_feats, method=model.denoise)
 
-        def body(carry, t):
-            x, slice_buf, rng = carry
-            rng, rng_z = jax.random.split(rng)
-            tsb = jnp.full((B,), t, dtype=jnp.float32)
-            eps = model.apply(params, x, tsb, label, cond_feats, method=model.denoise)
-            alpha_t = schedule.alpha[t]
-            abar_t = schedule.alpha_bar[t]
-            x = (x - (1.0 - alpha_t) / jnp.sqrt(1.0 - abar_t) * eps) / jnp.sqrt(alpha_t)
-            if slices_t:
-                hit = (ts_arr == t)[:, None, None, None]
-                slice_buf = jnp.where(hit, x[None], slice_buf)
-            z = jax.random.normal(rng_z, x.shape, dtype=x.dtype)
-            x = x + jnp.where(t > 0, schedule.sigma[t], 0.0) * z
-            return (x, slice_buf, rng), None
-
-        (x, slice_buf, rng), _ = jax.lax.scan(body, (x, slice_buf, rng), steps)
-        return x, slice_buf, rng
+    seg_sampler = None
+    if segment_size is not None:
+        seg_sampler = ddpm.make_segmented_sampler(
+            _denoise_apply, schedule, segment_size, t_slices=t_slices, mesh=mesh
+        )
 
     def sampler(params, rng, condition, label, XT=None):
         B = condition.shape[0]
         shape = (B, num_points, 3)
-        if segment_size is not None:
-            cond_feats = _encode(params, condition)
-            rng_init, rng_loop = jax.random.split(rng)
+        if mesh is not None:
+            # jax.device_put acts as a sharding constraint under jit and as
+            # real placement eagerly, so this works in both sampler modes
+            condition = jax.device_put(condition, bsh)
+            label = jax.device_put(label, bsh)
             if XT is not None:
-                assert warm_start_step is not None
-                z = jax.random.normal(rng_init, shape, dtype=jnp.float32)
-                x = XT + schedule.sigma[warm_start_step] * z
-                start = warm_start_step - 1
-            else:
-                x = jax.random.normal(rng_init, shape, dtype=jnp.float32)
-                start = schedule.T - 1
-            slice_buf = jnp.zeros((len(slices_t),) + shape, dtype=jnp.float32)
-            steps = list(range(start, -1, -1))
-            for i in range(0, len(steps), segment_size):
-                chunk = jnp.asarray(steps[i : i + segment_size], dtype=jnp.int32)
-                x, slice_buf, rng_loop = _run_segment(
-                    params, label, cond_feats, x, slice_buf, rng_loop, chunk
-                )
-            if slices_t:
-                return x, {t: slice_buf[i] for i, t in enumerate(slices_t)}
-            return x
+                XT = jax.device_put(XT, bsh)
+        if seg_sampler is not None:
+            cond_feats = _encode(params, condition)
+            return seg_sampler(
+                params, (label, cond_feats), rng, shape, XT,
+                warm_start_step if XT is not None else None,
+            )
 
         cond_feats = model.apply(params, condition, method=model.encode_condition)
 

@@ -13,15 +13,18 @@ log file to discover the output directory
 from __future__ import annotations
 
 import os
+import pickle
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.loader import load_config
 from ..diffusion import calc_diffusion_hyperparams, make_fast_sampling_plan
+from ..parallel.mesh import pad_batch_rows
+from ..parallel.multihost import all_gather_host_arrays, barrier
 from ..train.checkpoints import find_max_epoch, maybe_resume
-from ..train.loop import build_model, local_experiment_path, make_dataset
 from .evaluate import evaluate
 from .generate import make_coarse_sampler
 
@@ -39,6 +42,8 @@ def generation_save_dir(
     """Reproduce the generate_samples.py:98-160 directory taxonomy:
     <data>/generated_samples/<local_path>/ckpt_<it>[/fast_sampling/<cfg>]
     [/trial_<i>]/<train|test>."""
+    from ..train.loop import local_experiment_path  # deferred: circular
+
     ts = config.get("mvp_dataset_config", {})
     base = base_dir or os.path.join(ts.get("data_dir", "data"), "generated_samples")
     save_dir = os.path.join(base, local_experiment_path(config), f"ckpt_{ckpt_iter}")
@@ -73,11 +78,16 @@ def run_generation(
     compute_emd: bool = True,
     use_a_precomputed_XT: bool = False,
     T_step: int = 100,
+    XT_folder: Optional[str] = None,
     segment_size: Optional[int] = 200,
+    mesh=None,
 ):
     """Generate coarse clouds (+metrics) for a phase; loops trials for the
     augmented-trainset generation used to train the refinement network
     (generate_samples.py:459-485)."""
+    # deferred: train.loop itself imports this package (sample) at top level
+    from ..train.loop import build_model, local_experiment_path, make_dataset
+
     train_config = config["train_config"]
     pointnet_config = config["pointnet_config"]
     dc = config["diffusion_config"]
@@ -117,21 +127,32 @@ def run_generation(
     rank = jax.process_index()
     world = jax.process_count()
     scale = ts_cfg.get("scale", 1)
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    data_par = int(mesh.shape["data"]) if mesh is not None else 1
     results = []
     for trial in range(num_trials):
-        train_split = phase == "test_trainset"
         if dataset_override is not None:
             dataset = dataset_override
         else:
             ds_cfg = dict(ts_cfg)
             if augment_data_during_generation:
+                # generate_samples.py:374-393: augment during trainset
+                # generation and return M_inv/translation for undoing it
                 ds_cfg["return_augmentation_params"] = True
+                ds_cfg["augment_data_during_generation"] = True
+            if use_a_precomputed_XT:
+                # generate_samples.py:312-315: the dataset loads the
+                # DDPM-generated XT h5 for warm-started generation
+                ds_cfg["load_pre_computed_XT"] = True
+                ds_cfg["T_step"] = T_step
+                if XT_folder is not None:
+                    ds_cfg["XT_folder"] = XT_folder
             dataset = make_dataset(
-                ds_cfg, train_split, rank, world, eval_subset=num_samples_tested
+                ds_cfg, phase, rank, world, eval_subset=num_samples_tested
             )
-            if augment_data_during_generation:
-                dataset.cfg.return_augmentation_params = True
-                dataset.cfg.augmentation = ts_cfg.get("augmentation")
         bs = batch_size or ts_cfg.get("eval_batch_size", 32)
 
         npoints = ts_cfg.get("npoints", 2048)
@@ -143,6 +164,7 @@ def run_generation(
             t_slices=t_slices,
             warm_start_step=T_step if use_a_precomputed_XT else None,
             segment_size=seg,
+            mesh=mesh,
         )
         if seg is None:
             sampler = jax.jit(sampler)
@@ -169,19 +191,27 @@ def run_generation(
                 raise FileNotFoundError(f"checkpoint {it} under {ckpt_dir}")
 
         params = state.params if hasattr(state, "params") else state
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
         rng_holder = [jax.random.key(1000 + trial)]
 
         def gen_fn(batch):
             rng_holder[0], k = jax.random.split(rng_holder[0])
+            B = batch["partial"].shape[0]
+            cond = pad_batch_rows(np.asarray(batch["partial"]), data_par)
+            label = pad_batch_rows(np.asarray(batch["label"]), data_par)
             XT = (
-                jnp.asarray(batch["XT"])
+                jnp.asarray(pad_batch_rows(np.asarray(batch["XT"]), data_par))
                 if use_a_precomputed_XT and "XT" in batch
                 else None
             )
-            return sampler(
-                params, k, jnp.asarray(batch["partial"]),
-                jnp.asarray(batch["label"]), XT,
-            )
+            out = sampler(params, k, jnp.asarray(cond), jnp.asarray(label), XT)
+            if isinstance(out, tuple):
+                x, slices = out
+                return x[:B], {t: v[:B] for t, v in slices.items()}
+            return out[:B]
 
         from ..data import iterate_batches
 
@@ -207,6 +237,38 @@ def run_generation(
             unaugment_results=augment_data_during_generation,
             compute_emd=compute_emd,
         )
+
+        # per-rank pickle with this host's LOCAL shard metrics (the
+        # reference's per-rank eval pkl, generate_samples.py:233-245)
+        if save_generated and save_dir is not None:
+            with open(os.path.join(save_dir, "eval_result.pkl"), "wb") as f:
+                pickle.dump(
+                    {
+                        "avg_cd": res.avg_cd,
+                        "avg_emd": res.avg_emd,
+                        "metrics": res.metrics,
+                        "labels": res.labels,
+                    },
+                    f,
+                )
+
+        # multi-host: every host holds metrics for its dataset shard only.
+        # Gather them over the collectives (replacing the reference's
+        # per-rank pickle merge, generate_samples_distributed.py:26-97) so
+        # the averages below — and any best-ckpt decision made on them —
+        # are global and identical on all hosts.
+        if world > 1:
+            res.metrics = {
+                k: all_gather_host_arrays(v) for k, v in res.metrics.items()
+            }
+            res.labels = all_gather_host_arrays(res.labels)
+            res.avg_cd = float(np.mean(res.metrics["cd_distance"]))
+            res.avg_emd = float(np.mean(res.metrics["emd_distance"]))
+            if save_generated and save_dir is not None:
+                barrier("pdr_generation_trial")
+                if rank == 0:
+                    gather_generated_results(os.path.dirname(save_dir), world)
+
         results.append(res)
         print(
             f"trial {trial}: avg CD {res.avg_cd:.8f} avg EMD {res.avg_emd:.8f} "
@@ -214,6 +276,69 @@ def run_generation(
             flush=True,
         )
     return results
+
+
+def gather_generated_results(
+    parent_dir: str, world_size: int, delete_rank_dirs: bool = False
+) -> Optional[str]:
+    """Merge per-rank generation outputs `rank_{i}/*.h5` into `parent_dir`.
+
+    Filesystem analogue of the reference's gather_generated_results
+    (generate_samples_distributed.py:26-97), minus the grep-the-log
+    directory discovery: h5 `data` arrays are concatenated rank-ascending
+    (matching the dataset's static rank sharding order) and the per-rank
+    eval pickles merged.  Used when hosts share a filesystem; metrics are
+    additionally gathered over the collectives in `run_generation` so this
+    is only needed for the clouds themselves.  Returns the merged h5 path
+    (None if the rank dirs are absent, e.g. non-shared filesystems).
+    """
+    try:
+        import h5py
+    except ImportError:  # pragma: no cover
+        return None
+    rank_dirs = [os.path.join(parent_dir, f"rank_{i}") for i in range(world_size)]
+    if not all(os.path.isdir(d) for d in rank_dirs):
+        return None
+    names = sorted(
+        f for f in os.listdir(rank_dirs[0]) if f.endswith(".h5")
+    )
+    merged_path = None
+    for name in names:
+        chunks = []
+        for d in rank_dirs:
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                return None
+            with h5py.File(p, "r") as f:
+                chunks.append(np.array(f["data"]))
+        out = os.path.join(parent_dir, name)
+        with h5py.File(out, "w") as f:
+            f.create_dataset("data", data=np.concatenate(chunks, axis=0))
+        merged_path = out
+    pkls = [os.path.join(d, "eval_result.pkl") for d in rank_dirs]
+    if all(os.path.exists(p) for p in pkls):
+        payloads = []
+        for p in pkls:
+            with open(p, "rb") as f:
+                payloads.append(pickle.load(f))
+        metrics = {
+            k: np.concatenate([pl["metrics"][k] for pl in payloads])
+            for k in payloads[0]["metrics"]
+        }
+        merged = {
+            "avg_cd": float(np.mean(metrics["cd_distance"])),
+            "avg_emd": float(np.mean(metrics["emd_distance"])),
+            "metrics": metrics,
+            "labels": np.concatenate([pl["labels"] for pl in payloads]),
+        }
+        with open(os.path.join(parent_dir, "eval_result.pkl"), "wb") as f:
+            pickle.dump(merged, f)
+    if delete_rank_dirs:
+        import shutil
+
+        for d in rank_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return merged_path
 
 
 def run_generation_from_file(config_path: str, **kw):

@@ -64,13 +64,29 @@ def build_model(pointnet_config: dict):
     raise ValueError(network_type)
 
 
-def make_dataset(trainset_config: dict, train: bool, rank: int, world: int,
+def make_dataset(trainset_config: dict, phase, rank: int, world: int,
                  eval_subset: Optional[int] = None):
+    """Phase-aware dataset factory (dataset.py:21-77 get_dataloader).
+
+    phase: 'train' (train split, augmented, padded last rank),
+    'test'/'val' (test split, no augmentation), or 'test_trainset' (train
+    split evaluated without augmentation — unless the config sets
+    augment_data_during_generation, generate_samples.py:374-393).
+    Booleans are accepted for compatibility: True == 'train', False == 'test'.
+    """
+    if isinstance(phase, bool):
+        phase = "train" if phase else "test"
+    assert phase in ("train", "val", "test", "test_trainset"), phase
+    train = phase == "train"
+    train_split = train or phase == "test_trainset"
     aug = trainset_config.get("augmentation") if train else None
+    if not train and trainset_config.get("augment_data_during_generation", False):
+        aug = trainset_config.get("augmentation")  # dataset.py:56-57
+    random_trials = trainset_config.get("randomly_select_generated_samples", False)
     return MVPDataset(
         MVPDatasetConfig(
             data_dir=trainset_config["data_dir"],
-            train=train,
+            train=train_split,
             npoints=trainset_config.get("npoints", 2048),
             novel_input=trainset_config.get("novel_input", True),
             novel_input_only=trainset_config.get("novel_input_only", False),
@@ -78,26 +94,32 @@ def make_dataset(trainset_config: dict, train: bool, rank: int, world: int,
             rank=rank,
             world_size=world,
             augmentation=aug if isinstance(aug, dict) else None,
+            return_augmentation_params=trainset_config.get(
+                "return_augmentation_params", False
+            ),
             random_subsample=eval_subset is not None,
             num_samples=eval_subset or 0,
             include_generated_samples=trainset_config.get(
                 "include_generated_samples", False
             ),
             generated_sample_path=trainset_config.get("generated_sample_path"),
-            randomly_select_generated_samples=trainset_config.get(
-                "randomly_select_generated_samples", False
-            ),
+            # test phase never picks random trials (dataset.py:42-46)
+            randomly_select_generated_samples=random_trials and train_split,
             use_mirrored_partial_input=trainset_config.get(
                 "use_mirrored_partial_input", False
             ),
             number_partial_points=trainset_config.get("number_partial_points", 2048),
-            append_samples_to_last_rank=train,
+            load_pre_computed_XT=trainset_config.get("load_pre_computed_XT", False),
+            T_step=trainset_config.get("T_step", 100),
+            XT_folder=trainset_config.get("XT_folder"),
+            append_samples_to_last_rank=train,  # eval: no padding (train.py:51-55)
         )
     )
 
 
 def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
-          dataset_override=None, eval_dataset_override=None) -> dict:
+          dataset_override=None, eval_dataset_override=None,
+          trainset_eval_dataset_override=None) -> dict:
     """Run training per the JSON config.  `max_steps` truncates for smoke
     runs; dataset overrides let tests inject synthetic data."""
     train_config = config["train_config"]
@@ -152,6 +174,14 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
         net_in = x0
         ts0 = jnp.zeros((x0.shape[0],), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), net_in, condition, ts0, label)
+
+    if pointnet_config.get("record_neighbor_stats", False) and condition is not None:
+        # the reference records counts inside every forward and prints them
+        # on demand (pointnet2_utils.py:423-428); here the same per-module
+        # report runs once on the first batch (radii tuning is static)
+        from ..utils.neighbor_stats import model_neighbor_stats
+
+        model_neighbor_stats(pointnet_config, net_in, condition)
 
     state, tx = create_train_state(
         params, jax.random.key(rank + 1), train_config.get("learning_rate", 2e-4)
@@ -219,14 +249,25 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
     eval_dir = os.path.join(root, local_path, "eval_result")
     eval_T = int(train_config.get("eval_sampling_steps", 0))  # 0 = full T
 
+    test_trainset_during_eval = bool(
+        trainset_config.get("test_trainset_during_eval", False)
+    )
+
     def run_eval(n_iter_now, osf_now):
+        """Evaluate the test split (and optionally the train split) at a
+        checkpoint: per-rank metric pickles with the reference's naming
+        (train.py:76-90), a collective gather replacing the rank-0 pickle
+        merge (train.py:128-257), and a broadcast of the gathered test CD so
+        every rank takes identical best-ckpt / threshold decisions
+        (train.py:599-631)."""
+        import pickle
+
         from ..cli.eval_results import gather_eval_results, save_eval_result
         from ..data import iterate_batches
+        from ..parallel.mesh import pad_batch_rows
+        from ..parallel.multihost import all_gather_host_arrays, broadcast_scalar
 
-        eval_ds = eval_dataset_override or make_dataset(
-            trainset_config, False, rank, world,
-            eval_subset=num_samples_tested or None,
-        )
+        data_par = int(mesh.shape["data"])
         bs = trainset_config.get("eval_batch_size", 32)
         if task == "completion":
             # segment long schedules into bounded device executions (see
@@ -236,6 +277,7 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
                 model, schedule,
                 num_points=trainset_config.get("npoints", 2048),
                 segment_size=seg,
+                mesh=mesh,
             )
             if seg is None:
                 sampler = jax.jit(sampler)
@@ -243,10 +285,12 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
 
             def gen_fn(batch):
                 rng_holder[0], k = jax.random.split(rng_holder[0])
+                B = batch["partial"].shape[0]
+                cond = pad_batch_rows(batch["partial"], data_par)
+                lab = pad_batch_rows(batch["label"], data_par)
                 return sampler(
-                    state.params, k, jnp.asarray(batch["partial"]),
-                    jnp.asarray(batch["label"]),
-                )
+                    state.params, k, jnp.asarray(cond), jnp.asarray(lab)
+                )[:B]
         else:
             refiner = jax.jit(
                 make_refiner(
@@ -259,25 +303,80 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
             )
 
             def gen_fn(batch):
-                coarse = jnp.asarray(batch.get("generated", batch["complete"]))
-                return refiner(
-                    state.params, coarse, jnp.asarray(batch["partial"]),
-                    jnp.asarray(batch["label"]), jnp.float32(osf_now),
+                B = batch["partial"].shape[0]
+                args = shard_batch(
+                    (
+                        jnp.asarray(pad_batch_rows(
+                            batch.get("generated", batch["complete"]), data_par
+                        )),
+                        jnp.asarray(pad_batch_rows(batch["partial"], data_par)),
+                        jnp.asarray(pad_batch_rows(batch["label"], data_par)),
+                    ),
+                    mesh,
                 )
+                return refiner(state.params, *args, jnp.float32(osf_now))[:B]
 
-        res = evaluate(
-            gen_fn, iterate_batches(eval_ds, bs, shuffle=False), scale=scale,
-            compute_emd=compute_emd, print_every=10 ** 9,
-        )
-        save_eval_result(eval_dir, n_iter_now, res.avg_cd, res.avg_emd, res.metrics)
-        gathered = gather_eval_results(eval_dir)
-        tb.add_scalar("CD-Loss", res.avg_cd, n_iter_now)
-        tb.add_scalar("EMD-Loss", res.avg_emd, n_iter_now)
+        def eval_split(split_phase, tag):
+            # the reference tests num_samples_tested total, split across
+            # ranks (train.py:54-55, 95-97)
+            n_sub = max(1, num_samples_tested // world)
+            override = (
+                eval_dataset_override
+                if split_phase == "test"
+                else trainset_eval_dataset_override
+            )
+            if override is not None:
+                eval_ds = override
+            else:
+                eval_ds = make_dataset(
+                    trainset_config, split_phase, rank, world, eval_subset=n_sub
+                )
+            res = evaluate(
+                gen_fn, iterate_batches(eval_ds, bs, shuffle=False), scale=scale,
+                compute_emd=compute_emd, print_every=10 ** 9,
+            )
+            os.makedirs(eval_dir, exist_ok=True)
+            rank_file = os.path.join(
+                eval_dir, f"eval_result_ckpt_{n_iter_now}_rank_{rank}{tag}.pkl"
+            )
+            with open(rank_file, "wb") as f:
+                pickle.dump(
+                    {
+                        "avg_cd": res.avg_cd,
+                        "avg_emd": res.avg_emd,
+                        **{k: np.asarray(v) for k, v in res.metrics.items()},
+                    },
+                    f,
+                )
+            metrics = res.metrics
+            if world > 1:
+                metrics = {k: all_gather_host_arrays(v) for k, v in metrics.items()}
+            avg_cd = float(np.mean(metrics["cd_distance"]))
+            avg_emd = float(np.mean(metrics["emd_distance"]))
+            return avg_cd, avg_emd, metrics
+
+        avg_cd, avg_emd, metrics = eval_split("test", "")
+        tb.add_scalar("CD-Loss", avg_cd, n_iter_now)
+        tb.add_scalar("EMD-Loss", avg_emd, n_iter_now)
+        if rank == 0:
+            save_eval_result(eval_dir, n_iter_now, avg_cd, avg_emd, metrics)
+            gather_eval_results(eval_dir)
+        if test_trainset_during_eval:
+            tr_cd, tr_emd, _ = eval_split("test_trainset", "_trainset")
+            tb.add_scalar("Trainset CD-Loss", tr_cd, n_iter_now)
+            tb.add_scalar("Trainset EMD-Loss", tr_emd, n_iter_now)
+            print(
+                f"eval @ iter {n_iter_now}: Trainset CD {tr_cd:.8f} "
+                f"EMD {tr_emd:.8f}",
+                flush=True,
+            )
+        # rank 0's gathered value is authoritative (train.py:623)
+        avg_cd = broadcast_scalar(avg_cd)
         print(
-            f"eval @ iter {n_iter_now}: CD {res.avg_cd:.8f} EMD {res.avg_emd:.8f}",
+            f"eval @ iter {n_iter_now}: CD {avg_cd:.8f} EMD {avg_emd:.8f}",
             flush=True,
         )
-        return res.avg_cd, res.avg_emd
+        return avg_cd, avg_emd
 
     loss_meter = AverageMeter("Train-Loss")
     eval_records = {"iter": [], "avg_cd": [], "avg_emd": []}

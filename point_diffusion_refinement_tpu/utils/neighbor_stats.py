@@ -53,6 +53,76 @@ def sa_ladder_neighbor_stats(
     return out
 
 
+def _fps_ladder(xyz, npoints):
+    """Positions at each ladder level: [raw, after SA_0, after SA_1, ...]."""
+    levels = [jnp.asarray(xyz)]
+    for npoint in npoints:
+        idx = furthest_point_sample(levels[-1], int(npoint))
+        levels.append(gather_points(levels[-1], idx))
+    return levels
+
+
+def _query_stats(src, centers, radius, nsample) -> dict:
+    _, counts = ball_query(src, centers, float(radius), int(nsample))
+    s = count_stats(np.asarray(counts))
+    s.update({"npoint": centers.shape[1], "radius": float(radius),
+              "nsample": int(nsample)})
+    return s
+
+
+def model_neighbor_stats(pointnet_config: dict, x, condition) -> str:
+    """The in-model neighbor-count report, per module group.
+
+    Functional equivalent of the reference's in-forward recording + report
+    (pointnet2_utils.py:423-428, pointnet2_with_pcld_condition.py:478-510):
+    walks both SA ladders and the encoder/decoder feature-transfer modules
+    with the config's radius/nsample ladders on a sample batch, printing the
+    same min/mean/max + decile table used to tune ball-query radii.  Enabled
+    by the ``record_neighbor_stats`` config flag (train loop runs it once on
+    the first batch).
+
+    Args:
+      pointnet_config: the model config (architecture / condition /
+        feature_mapper sections).
+      x: (B, N, 3+) the x_t-branch cloud (e.g. complete shapes).
+      condition: (B, M, 3+) the condition cloud (e.g. mirrored partials).
+    """
+    sf = float(pointnet_config.get("scale_factor", 1.0))
+    arch = pointnet_config["architecture"]
+    cond_arch = pointnet_config.get("condition_net_architecture", arch)
+    mapper = pointnet_config.get("feature_mapper_architecture")
+
+    x_l = _fps_ladder(jnp.asarray(x)[..., :3] / sf, arch["npoint"])
+    c_l = _fps_ladder(jnp.asarray(condition)[..., :3] / sf, cond_arch["npoint"])
+
+    sections = []
+
+    def ladder(levels, a, name):
+        stats = [
+            _query_stats(levels[i], levels[i + 1], a["radius"][i], a["nsample"][i])
+            for i in range(len(a["npoint"]))
+        ]
+        sections.append(report(stats, name))
+
+    ladder(x_l, arch, "Input cloud SA_module")
+    if pointnet_config.get("include_local_feature", True):
+        ladder(c_l, cond_arch, "Condition cloud SA_module")
+        if mapper is not None:
+            enc = [
+                _query_stats(c_l[i], x_l[i], mapper["encoder_radius"][i],
+                             mapper["encoder_nsample"][i])
+                for i in range(len(mapper["encoder_radius"]))
+            ]
+            sections.append(report(enc, "Encoder feature mapper (cond -> input)"))
+            dec = [
+                _query_stats(c_l[i], x_l[i], mapper["decoder_radius"][i],
+                             mapper["decoder_nsample"][i])
+                for i in range(len(mapper["decoder_radius"]))
+            ]
+            sections.append(report(dec, "Decoder feature mapper (cond -> input)"))
+    return "\n".join(sections)
+
+
 def report(stats: list[dict], name: str = "SA ladder") -> str:
     lines = [f"{name}: neighbor count stats (min/mean/max + deciles)"]
     for s in stats:

@@ -27,8 +27,15 @@ def trace(log_dir: str):
         yield
 
 
-def summarize_trace(log_dir: str, top: int = 25) -> list[tuple[str, float, int]]:
-    """Aggregate (op name, total us, count) from a captured trace directory."""
+def summarize_trace(
+    log_dir: str, top: int = 25, long_names: bool = False
+) -> list[tuple[str, float, int]]:
+    """Aggregate (op name, total us, count) from a captured trace directory.
+
+    With ``long_names`` the XLA long op name (the jaxpr scope path, e.g.
+    `.../sa_0/ConditionedMLP_0/...`) is appended when the trace carries it —
+    use it to attribute anonymous `fusion.NNNN` entries to model modules.
+    """
     files = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
     if not files:
         return []
@@ -39,6 +46,11 @@ def summarize_trace(log_dir: str, top: int = 25) -> list[tuple[str, float, int]]
     for e in data.get("traceEvents", []):
         name = e.get("name", "")
         if e.get("ph") == "X" and "dur" in e and not name.startswith("$"):
+            if long_names:
+                args = e.get("args") or {}
+                ln = args.get("long_name") or args.get("hlo_op") or ""
+                if ln and ln != name:
+                    name = f"{name} :: {ln}"
             tot[name] += e["dur"]
             cnt[name] += 1
     return [(name, float(d), cnt[name]) for name, d in tot.most_common(top)]

@@ -89,20 +89,51 @@ class _SD:
         return _gn_from_torch(self.sd[f"{key}.weight"], self.sd[f"{key}.bias"])
 
 
+def _has_mlp(sd: _SD, prefix: str) -> bool:
+    """A build_shared_mlp Sequential exists at `prefix` in any layout:
+    conv-first (bn_first=False), norm-first, or act-first (bn_first=True)."""
+    return (
+        sd.has(f"{prefix}.0")
+        or sd.has(f"{prefix}.0.group_norm")
+        or sd.has(f"{prefix}.1")
+    )
+
+
 def _convert_shared_mlp(sd: _SD, prefix: str, bn: bool = True) -> dict:
-    """torch Sequential([Conv2d, MyGroupNorm, ReLU] * L) -> flax SharedMLP."""
+    """torch build_shared_mlp Sequential -> flax SharedMLP params.
+
+    Layout autodetected from the state dict: bn_first=False layers are
+    [Conv2d, MyGroupNorm, ReLU]; bn_first=True layers are
+    [MyGroupNorm, Act, Conv2d] (pointnet2_modules.py:48-66)."""
     out = {}
     j = 0  # flax layer index
     t = 0  # torch sequential index
-    while sd.has(f"{prefix}.{t}"):
-        out[f"Dense_{j}"] = sd.dense(f"{prefix}.{t}")
-        if bn and sd.has(f"{prefix}.{t + 1}.group_norm"):
-            out[f"PartialGroupNorm_{j}"] = {
-                "GroupNorm_0": sd.gn(f"{prefix}.{t + 1}.group_norm")
-            }
-            t += 3  # conv, norm, relu
+    if sd.has(f"{prefix}.0"):  # conv first: bn_first=False
+        while sd.has(f"{prefix}.{t}"):
+            out[f"Dense_{j}"] = sd.dense(f"{prefix}.{t}")
+            if bn and sd.has(f"{prefix}.{t + 1}.group_norm"):
+                gn = sd.gn(f"{prefix}.{t + 1}.group_norm")
+                # MyGroupNorm(32, C<32) normalizes zero channels: torch
+                # stores empty (0,) weights, flax creates no params
+                if gn["scale"].size > 0:
+                    out[f"PartialGroupNorm_{j}"] = {"GroupNorm_0": gn}
+                t += 3  # conv, norm, relu
+            else:
+                t += 2 if not bn else 3
+            j += 1
+        return out
+    while True:  # bn_first=True
+        if sd.has(f"{prefix}.{t}.group_norm"):
+            gn = sd.gn(f"{prefix}.{t}.group_norm")
+            if gn["scale"].size > 0:
+                out[f"PartialGroupNorm_{j}"] = {"GroupNorm_0": gn}
+            conv_t, step = t + 2, 3  # norm, act, conv
+        elif sd.has(f"{prefix}.{t + 1}"):
+            conv_t, step = t + 1, 2  # act, conv (bn=False)
         else:
-            t += 2 if not bn else 3
+            break
+        out[f"Dense_{j}"] = sd.dense(f"{prefix}.{conv_t}")
+        t += step
         j += 1
     return out
 
@@ -122,7 +153,7 @@ def _convert_mlp_plus_t(sd: _SD, prefix: str) -> dict:
     if sd.has(f"{prefix}.fc_condition"):
         out[f"Dense_{dense_i}"] = sd.dense(f"{prefix}.fc_condition")
         dense_i += 1
-    if sd.has(f"{prefix}.rest_mlp.0"):
+    if _has_mlp(sd, f"{prefix}.rest_mlp"):
         out["SharedMLP_2"] = _convert_shared_mlp(sd, f"{prefix}.rest_mlp")
     if sd.has(f"{prefix}.fc_second_condition"):
         out[f"Dense_{dense_i}"] = sd.dense(f"{prefix}.fc_second_condition")
@@ -165,6 +196,40 @@ def _convert_attention(sd: _SD, prefix: str) -> dict:
     return out
 
 
+def _convert_global_attention(sd: _SD, prefix: str) -> dict:
+    """torch GlobalAttentionModule (attention.py:98-154) -> flax
+    GlobalSelfAttention.
+
+    Flax call order: Dense_0=key_conv, Dense_1=query_conv,
+    Dense_2=value_conv.0, [PartialGroupNorm_0=value GN], then over the
+    pairwise concat [PartialGroupNorm_1, Dense_3, PartialGroupNorm_2,
+    Dense_4=score]."""
+    out = {
+        "Dense_0": sd.dense(f"{prefix}.key_conv"),
+        "Dense_1": sd.dense(f"{prefix}.query_conv"),
+        "Dense_2": sd.dense(f"{prefix}.value_conv.0"),
+    }
+    gn_i = 0
+    if sd.has(f"{prefix}.value_conv.1.group_norm"):
+        out[f"PartialGroupNorm_{gn_i}"] = {
+            "GroupNorm_0": sd.gn(f"{prefix}.value_conv.1.group_norm")
+        }
+        gn_i += 1
+    if sd.has(f"{prefix}.weight_conv.2"):  # attention_bn=True layout
+        out[f"PartialGroupNorm_{gn_i}"] = {
+            "GroupNorm_0": sd.gn(f"{prefix}.weight_conv.1.group_norm")
+        }
+        out["Dense_3"] = sd.dense(f"{prefix}.weight_conv.2")
+        out[f"PartialGroupNorm_{gn_i + 1}"] = {
+            "GroupNorm_0": sd.gn(f"{prefix}.weight_conv.4.group_norm")
+        }
+        out["Dense_4"] = sd.dense(f"{prefix}.weight_conv.5")
+    else:
+        out["Dense_3"] = sd.dense(f"{prefix}.weight_conv.1")
+        out["Dense_4"] = sd.dense(f"{prefix}.weight_conv.3")
+    return out
+
+
 def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 4) -> dict:
     """Convert the reference model_state_dict to this repo's flax params.
 
@@ -177,7 +242,7 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 
     if sd.has("fc_t1"):
         p["fc_t1"] = sd.dense("fc_t1")
         p["fc_t2"] = sd.dense("fc_t2")
-    if sd.has("global_pnet.mlp1.first_mlp.0"):
+    if _has_mlp(sd, "global_pnet.mlp1.first_mlp"):
         p["global_pnet"] = {
             "ConditionedMLP_0": _convert_mlp_plus_t(sd, "global_pnet.mlp1"),
             "ConditionedMLP_1": _convert_mlp_plus_t(sd, "global_pnet.mlp2"),
@@ -188,12 +253,16 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 
             (f"SA_modules.{i}", f"sa_{i}"),
             (f"SA_modules_condition.{i}", f"sa_cond_{i}"),
         ):
-            if not sd.has(f"{torch_name}.mlps.0.first_mlp.0"):
+            if not _has_mlp(sd, f"{torch_name}.mlps.0.first_mlp"):
                 continue
             mod = {"ConditionedMLP_0": _convert_mlp_plus_t(sd, f"{torch_name}.mlps.0")}
             if sd.has(f"{torch_name}.attention_modules.0.feat_conv"):
                 mod["AttentionPool_0"] = _convert_attention(
                     sd, f"{torch_name}.attention_modules.0"
+                )
+            if sd.has(f"{torch_name}.global_attention_modules.0.key_conv"):
+                mod["GlobalSelfAttention_0"] = _convert_global_attention(
+                    sd, f"{torch_name}.global_attention_modules.0"
                 )
             p[flax_name] = mod
 
@@ -201,7 +270,7 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 
             (f"FP_modules.{i}", f"fp_{i}"),
             (f"FP_modules_condition.{i}", f"fp_cond_{i}"),
         ):
-            if sd.has(f"{torch_name}.mlp1.first_mlp.0"):  # KnnFP
+            if _has_mlp(sd, f"{torch_name}.mlp1.first_mlp"):  # KnnFP
                 mod = {
                     "ConditionedMLP_0": _convert_mlp_plus_t(sd, f"{torch_name}.mlp1"),
                     "ConditionedMLP_1": _convert_mlp_plus_t(sd, f"{torch_name}.mlp2"),
@@ -210,8 +279,12 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 
                     mod["AttentionPool_0"] = _convert_attention(
                         sd, f"{torch_name}.attention_module"
                     )
+                if sd.has(f"{torch_name}.global_attention_module.key_conv"):
+                    mod["GlobalSelfAttention_0"] = _convert_global_attention(
+                        sd, f"{torch_name}.global_attention_module"
+                    )
                 p[flax_name] = mod
-            elif sd.has(f"{torch_name}.mlp.first_mlp.0"):  # three-interp FP
+            elif _has_mlp(sd, f"{torch_name}.mlp.first_mlp"):  # three-interp FP
                 p[flax_name] = {
                     "ConditionedMLP_0": _convert_mlp_plus_t(sd, f"{torch_name}.mlp")
                 }
@@ -220,7 +293,7 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 
             (f"encoder_feature_map.{i}", f"enc_map_{i}"),
             (f"decoder_feature_map.{i}", f"dec_map_{i}"),
         ):
-            if sd.has(f"{torch_name}.mlp.first_mlp.0"):
+            if _has_mlp(sd, f"{torch_name}.mlp.first_mlp"):
                 mod = {"ConditionedMLP_0": _convert_mlp_plus_t(sd, f"{torch_name}.mlp")}
                 if sd.has(f"{torch_name}.attention_module.feat_conv"):
                     mod["AttentionPool_0"] = _convert_attention(
@@ -229,7 +302,7 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray], n_levels: int = 
                 p[flax_name] = mod
     # the decoder map ladder has n_levels + 1 modules
     tn = f"decoder_feature_map.{n_levels}"
-    if sd.has(f"{tn}.mlp.first_mlp.0"):
+    if _has_mlp(sd, f"{tn}.mlp.first_mlp"):
         mod = {"ConditionedMLP_0": _convert_mlp_plus_t(sd, f"{tn}.mlp")}
         if sd.has(f"{tn}.attention_module.feat_conv"):
             mod["AttentionPool_0"] = _convert_attention(sd, f"{tn}.attention_module")

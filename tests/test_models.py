@@ -266,3 +266,45 @@ class TestPointwiseNet:
         ts = jnp.asarray([1, 999])
         _, out = init_and_run(m, x, cond, ts)
         assert out.shape == (2, 32, 3)
+
+
+class TestAvgMaxGlobalAttentionModel:
+    """The avg_max-pooling + coarse-level global-attention variant (the
+    reference's T1000..._avg_max_pooling_... experiment; exp_configs.py
+    ddpm_avg_max_config): full forward + gradient through every branch the
+    standard config skips."""
+
+    def test_forward_and_grad(self, rng_np):
+        from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
+
+        cfg = tiny_pointnet_config()
+        cfg["pooling"] = "avg_max"
+        cfg["global_attention_setting"] = {
+            "use_global_attention_module": True,
+            "attention_bn": True,
+            "last_activation": True,
+            "global_attention_layer_index": [0, 1],
+        }
+        model = PointNet2CloudCondition.from_config(cfg)
+        B, N, M = 2, 32, 48
+        x = jnp.asarray(rng_np.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+        cond = jnp.asarray(
+            np.concatenate(
+                [rng_np.uniform(-1, 1, (B, M, 3)), np.ones((B, M, 1))], axis=-1
+            ).astype(np.float32)
+        )
+        ts = jnp.zeros((B,), jnp.float32)
+        label = jnp.zeros((B,), jnp.int32)
+        params = model.init(jax.random.key(0), x, cond, ts, label)
+        # the global-attention score branch must own parameters
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        assert any("GlobalSelfAttention" in jax.tree_util.keystr(k) for k, _ in flat)
+
+        def loss(p):
+            out = model.apply(p, x, cond, ts, label)
+            return jnp.mean(out ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
+        assert all(np.isfinite(n) for n in norms)
