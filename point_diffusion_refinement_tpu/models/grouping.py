@@ -8,6 +8,7 @@ plus repeat-first / zero-feature padding, exactly as the CUDA path.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Union
 
 import jax
@@ -22,6 +23,61 @@ Counts = Union[jax.Array, str]  # (B, M) int32, or 'all' for kNN groups
 class Grouped(NamedTuple):
     features: jax.Array  # (B, M, K, C_total)
     counts: Counts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_ball_gather(xyz, new_xyz, table, radius, nsample):
+    """ball_query + gather-table-rows as ONE Pallas kernel (TPU hot path).
+
+    Equivalent to `idx, counts = ball_query(...); g = group_points(table,
+    idx)` but the gather runs as MXU matmuls against the in-VMEM table
+    instead of XLA's per-channel kLoop one-hot fusions
+    (ops/pallas_neighbors.py:ball_query_group_pallas).  Differentiable in
+    `table` (transposed one-hot scatter, bf16-rounded cotangents like the
+    bf16 compute path); the neighbor selection is non-differentiable, like
+    the reference's GroupingOperation (pointnet2_utils.py:222-268).
+    """
+    from ..ops.pallas_neighbors import ball_query_group_pallas
+
+    return ball_query_group_pallas(xyz, new_xyz, table, radius, nsample)
+
+
+def _fused_ball_gather_fwd(xyz, new_xyz, table, radius, nsample):
+    out = _fused_ball_gather(xyz, new_xyz, table, radius, nsample)
+    g, idx, counts = out
+    return out, (idx, table.shape)
+
+
+def _fused_ball_gather_bwd(radius, nsample, res, cot):
+    idx, table_shape = res
+    dg = cot[0]
+    N = table_shape[1]
+    oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)  # (B, M, K, N), fused
+    dtable = jnp.einsum(
+        "bmkn,bmkc->bnc", oh, dg.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return None, None, dtable
+
+
+_fused_ball_gather.defvjp(_fused_ball_gather_fwd, _fused_ball_gather_bwd)
+
+
+def _use_fused_ball_gather(M: int, N: int, C: int, nsample: int) -> bool:
+    """Opt-in (PDR_FUSED_GATHER=1): measured on v5e, the fused kernel's MXU
+    one-hot matmuls (~N MACs per gathered element) cost about the same as
+    XLA's kLoop one-hot fusions at the shipped shapes, and lose the
+    cross-module CSE of the shared ball query — end-to-end it was 13.5 vs
+    9.6 ms/step at B=4.  Kept for the windowed variant (reduced N per
+    query), where the matmul cost shrinks with the window."""
+    import os
+
+    from ..ops.pallas_neighbors import fused_row_tile
+    from ..ops.sampling import _use_pallas
+
+    if not os.environ.get("PDR_FUSED_GATHER"):
+        return False
+    return _use_pallas() and fused_row_tile(M, N, C, nsample) is not None
 
 
 def query_and_group(
@@ -50,9 +106,26 @@ def query_and_group(
       xyz: (B, N, 3) support points; new_xyz: (B, M, 3) centers;
       features: (B, N, C) or None.
     """
-    if neighbor_def == "radius":
+    fused = neighbor_def == "radius" and _use_fused_ball_gather(
+        new_xyz.shape[1], xyz.shape[1],
+        3 + (features.shape[-1] if features is not None else 0), nsample,
+    )
+    if fused:
+        # query + gather in one Pallas kernel; table = [xyz, features]
+        table = (
+            jnp.concatenate([xyz, features.astype(jnp.float32)], axis=-1)
+            if features is not None
+            else xyz
+        )
+        gathered, idx, counts_arr = _fused_ball_gather(
+            xyz, new_xyz, table, radius, nsample
+        )
+        counts = counts_arr
+        abs_xyz = gathered[..., :3]
+        fused_features = gathered[..., 3:] if features is not None else None
+    elif neighbor_def == "radius":
         idx, counts_arr = ball_query(xyz, new_xyz, radius, nsample)
-        counts: Counts = counts_arr
+        counts = counts_arr
     elif neighbor_def == "nn":
         k = min(nsample, xyz.shape[1])
         _, idx = knn(new_xyz, xyz, k)
@@ -60,7 +133,8 @@ def query_and_group(
     else:
         raise ValueError(f"Neighbor definition {neighbor_def} is not supported")
 
-    abs_xyz = group_points(xyz, idx)  # (B, M, K, 3)
+    if not fused:
+        abs_xyz = group_points(xyz, idx)  # (B, M, K, 3)
     center = new_xyz[:, :, None, :]  # (B, M, 1, 3)
     if (not subset) and neighbor_def == "radius":
         have = (counts_arr > 0).astype(abs_xyz.dtype)[..., None, None]  # (B,M,1,1)
@@ -78,7 +152,11 @@ def query_and_group(
         grouped_xyz = jnp.concatenate([grouped_xyz, c], axis=-1)
 
     if features is not None:
-        grouped_features = group_points(features, idx, lossy=lossy_features)
+        grouped_features = (
+            fused_features
+            if fused
+            else group_points(features, idx, lossy=lossy_features)
+        )
         if not subset and neighbor_def == "radius":
             grouped_features = have * grouped_features  # zero-feature default
         if use_xyz:

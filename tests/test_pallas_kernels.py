@@ -2,6 +2,7 @@
 CPU; on-device parity is exercised by the TPU bench/driver)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -133,3 +134,96 @@ class TestSizeEnvelope:
         i1, n1 = neighbors.ball_query(x, c, 0.1, 4)
         i2, n2 = ball_query_xla(x, c, 0.1, 4)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestFusedBallQueryGather:
+    """ball_query_group_pallas: gathered rows must equal table[idx] (to the
+    hi/lo bf16 split's ~16 mantissa bits, the same precision as the one-hot
+    MXU gather it replaces) for the reference ball-query idx (repeat-first
+    padding, row 0 on empty balls); the index itself reconstructs exactly
+    from the lane column."""
+
+    def test_matches_ball_query_plus_gather(self, rng_np):
+        from point_diffusion_refinement_tpu.ops.pallas_neighbors import (
+            ball_query_group_pallas,
+        )
+
+        B, N, M, K, C = 2, 300, 170, 8, 37
+        x = jnp.asarray(rng_np.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+        c = jnp.asarray(rng_np.uniform(-1, 1, (B, M, 3)).astype(np.float32))
+        table = jnp.asarray(rng_np.uniform(-9, 9, (B, N, C)).astype(np.float32))
+        # radius chosen so some balls are empty and some overfull
+        g, idx, cnt = ball_query_group_pallas(x, c, table, 0.3, K, True)
+        i_ref, n_ref = ball_query_xla(x, c, 0.3, K)
+        assert (np.asarray(n_ref) == 0).any() and (np.asarray(n_ref) == K).any()
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(n_ref))
+        expect = np.take_along_axis(
+            np.asarray(table)[:, :, None, :].repeat(M, 2).transpose(0, 2, 1, 3),
+            np.asarray(i_ref)[..., None].repeat(C, -1),
+            axis=2,
+        )
+        np.testing.assert_allclose(np.asarray(g), expect, rtol=2e-5, atol=2e-4)
+
+    def test_query_and_group_fused_equals_unfused(self, monkeypatch, rng_np):
+        """The fused dispatch inside query_and_group must be value-identical
+        to the unfused XLA path (subset=False FT semantics included)."""
+        from point_diffusion_refinement_tpu.models import grouping
+        from point_diffusion_refinement_tpu.ops import sampling
+
+        B, N, M, K, C = 2, 200, 60, 8, 5
+        x = jnp.asarray(rng_np.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+        c = jnp.asarray(rng_np.uniform(-1, 1, (B, M, 3)).astype(np.float32))
+        f = jnp.asarray(rng_np.uniform(-1, 1, (B, N, C)).astype(np.float32))
+        kw = dict(radius=0.3, nsample=K, use_xyz=True,
+                  include_abs_coordinate=True, include_center_coordinate=True,
+                  subset=False)
+        ref, cnt_ref = grouping.query_and_group(x, c, f, **kw)
+
+        monkeypatch.setattr(sampling, "_use_pallas", lambda: True)
+        monkeypatch.setattr(
+            grouping, "_use_fused_ball_gather", lambda *a: True
+        )
+        import point_diffusion_refinement_tpu.ops.pallas_neighbors as pn
+
+        orig = pn.ball_query_group_pallas
+        monkeypatch.setattr(
+            pn, "ball_query_group_pallas",
+            lambda *a, **k: orig(*a[:5], True),
+        )
+        out, cnt = grouping.query_and_group(x, c, f, **kw)
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-4
+        )
+
+    def test_fused_gather_grad_matches_unfused(self, monkeypatch, rng_np):
+        """d(loss)/d(features) through the fused custom VJP ~= the XLA
+        gather's VJP (bf16-rounded cotangents)."""
+        from point_diffusion_refinement_tpu.models import grouping
+        from point_diffusion_refinement_tpu.ops import sampling
+
+        B, N, M, K, C = 1, 100, 24, 8, 6
+        x = jnp.asarray(rng_np.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+        c = jnp.asarray(rng_np.uniform(-1, 1, (B, M, 3)).astype(np.float32))
+        f = jnp.asarray(rng_np.uniform(-1, 1, (B, N, C)).astype(np.float32))
+        kw = dict(radius=0.4, nsample=K, use_xyz=True, subset=True)
+
+        def loss_unfused(f_):
+            out, _ = grouping.query_and_group(x, c, f_, **kw)
+            return jnp.sum(out ** 2)
+
+        g_ref = jax.grad(loss_unfused)(f)
+
+        monkeypatch.setattr(sampling, "_use_pallas", lambda: True)
+        monkeypatch.setattr(grouping, "_use_fused_ball_gather", lambda *a: True)
+        import point_diffusion_refinement_tpu.ops.pallas_neighbors as pn
+
+        orig = pn.ball_query_group_pallas
+        monkeypatch.setattr(
+            pn, "ball_query_group_pallas", lambda *a, **k: orig(*a[:5], True)
+        )
+        g_fused = jax.grad(loss_unfused)(f)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=2e-2, atol=2e-2
+        )
