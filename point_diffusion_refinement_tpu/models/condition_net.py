@@ -45,6 +45,11 @@ class CondFeatures(NamedTuple):
     encoder_feats: tuple  # condition features after the encoder, len = n_levels + 1
     decoder_feats: tuple  # condition features after the decoder FP ladder
     global_feature: Optional[jax.Array]  # (B, G)
+    # Optional sorted-support context for the level-0 Feature-Transfer pair
+    # (windowed fused ball query+gather, ops/pallas_window.py); built only
+    # when encode_condition(..., windowed_ft=True).  Inference-only: the
+    # windowed kernel has no VJP.
+    ft0_sup: Optional[object] = None
 
 
 def _nerf_encode(x: jax.Array, multires: int) -> jax.Array:
@@ -381,11 +386,35 @@ class PointNet2CloudCondition(nn.Module):
             features = None
         return xyz, features
 
-    def encode_condition(self, condition) -> CondFeatures:
+    def _ft0_windowed_eligible(self) -> bool:
+        """The level-0 encoder FT and final decoder FT can share one windowed
+        fused ball query+gather (ops/pallas_window.py) when they agree on the
+        query geometry and use the layout the kernel emits."""
+        if not (self.include_local_feature and self.hp.get(
+                "feature_mapper_architecture", None)):
+            return False
+        enc, dec = self.encoder_feature_map[0], self.decoder_feature_map[0]
+        return (
+            enc.neighbor_def == "radius"
+            and dec.neighbor_def == "radius"
+            and enc.radius == dec.radius
+            and enc.k == dec.k
+            and enc.use_xyz and dec.use_xyz
+            and enc.include_abs_coordinate and dec.include_abs_coordinate
+            and enc.include_center_coordinate == dec.include_center_coordinate
+            and enc.dtype is not None  # bf16 compute: lossy feature gathers
+            and dec.dtype is not None
+        )
+
+    def encode_condition(self, condition, windowed_ft: bool = False) -> CondFeatures:
         """Run the condition branch (SA + FP ladders + global PointNet) once.
 
         condition: (B, M, 3 + partial_extra) — e.g. (B, 3072, 4) with the
         mirror flag channel.
+
+        windowed_ft: additionally pack + sort the level-0 condition cloud so
+        `denoise` can run the level-0 FT pair through the windowed fused
+        kernel (inference only — it has no VJP).
         """
         uvw, cond_features = self._split(condition)
 
@@ -416,11 +445,26 @@ class PointNet2CloudCondition(nn.Module):
         else:
             encoder_feats = tuple(l_feats)
             decoder_feats = tuple(l_feats)
+
+        ft0_sup = None
+        if (
+            windowed_ft
+            and self._ft0_windowed_eligible()
+            and encoder_feats[0] is not None
+            and decoder_feats[0] is not None
+            and l_uvw[0].shape[1] >= 1024
+        ):
+            from ..ops.pallas_window import build_support_ctx
+
+            ft0_sup = build_support_ctx(
+                l_uvw[0], [encoder_feats[0], decoder_feats[0]]
+            )
         return CondFeatures(
             l_uvw=tuple(l_uvw),
             encoder_feats=encoder_feats,
             decoder_feats=decoder_feats,
             global_feature=global_feature,
+            ft0_sup=ft0_sup,
         )
 
     def denoise(self, pointcloud, ts=None, label=None, cond: Optional[CondFeatures] = None):
@@ -446,12 +490,38 @@ class PointNet2CloudCondition(nn.Module):
             condition_emb = class_emb if self.include_class_condition else None
             second_condition_emb = None
 
+        # Level-0 FT pair via ONE windowed fused ball query+gather: the
+        # encoder FT and the final decoder FT share (support, queries,
+        # radius, K); only the gathered feature tables differ, and both are
+        # packed into the same kernel table by encode_condition.
+        ft0 = None
+        if (
+            cond is not None
+            and getattr(cond, "ft0_sup", None) is not None
+            and xyz.shape[1] % 128 == 0
+        ):
+            from ..ops.pallas_window import build_query_ctx, windowed_ball_group
+
+            enc_ft0 = self.encoder_feature_map[0]
+            qctx = build_query_ctx(xyz, cond.ft0_sup.axis_onehot)
+            wg = windowed_ball_group(
+                cond.ft0_sup, qctx, enc_ft0.radius, enc_ft0.k,
+                include_center=enc_ft0.include_center_coordinate,
+                interpret=jax.default_backend() != "tpu",
+            )
+            ft0 = (wg, qctx)
+
         l_xyz, l_features = [xyz], [features]
         for i in range(len(self.sa)):
             if self.include_local_feature:
                 mapped = self.encoder_feature_map[i](
                     cond.l_uvw[i], cond.encoder_feats[i], l_xyz[i],
                     query_feats=l_features[i], subset=False, pooling=self.pooling,
+                    pregrouped=(
+                        (ft0[0].grouped[0], ft0[0].counts, ft0[1])
+                        if i == 0 and ft0 is not None
+                        else None
+                    ),
                 )
                 input_feature = jnp.concatenate([mapped, l_features[i]], axis=-1)
             else:
@@ -485,6 +555,11 @@ class PointNet2CloudCondition(nn.Module):
             mapped = self.decoder_feature_map[0](
                 cond.l_uvw[0], cond.decoder_feats[0], l_xyz[0],
                 query_feats=l_features[0], subset=False, pooling=self.pooling,
+                pregrouped=(
+                    (ft0[0].grouped[1], ft0[0].counts, ft0[1])
+                    if ft0 is not None
+                    else None
+                ),
             )
             out_feature = jnp.concatenate([mapped, l_features[0]], axis=-1)
         else:

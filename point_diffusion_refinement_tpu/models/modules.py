@@ -395,20 +395,32 @@ class FeatureTransfer(nn.Module):
         query_feats=None,
         subset: bool = False,
         pooling: str = "max",
+        pregrouped=None,
     ):
-        grouped, counts = query_and_group(
-            xyz,
-            new_xyz,
-            features,
-            radius=self.radius,
-            nsample=self.k,
-            neighbor_def=self.neighbor_def,
-            use_xyz=self.use_xyz,
-            include_abs_coordinate=self.include_abs_coordinate,
-            include_center_coordinate=self.include_center_coordinate,
-            subset=subset,
-            lossy_features=self.dtype is not None,
-        )
+        if pregrouped is not None:
+            # (grouped, counts, query_ctx) from the windowed fused kernel
+            # (ops/pallas_window.py) — grouped is in sorted-query order with
+            # the same channel layout query_and_group would produce; run the
+            # per-center MLP + pooling in that order and unsort at the end.
+            from ..ops.pallas_window import sort_rows, unsort_rows
+
+            grouped, counts, qctx = pregrouped
+            if query_feats is not None:
+                query_feats = sort_rows(query_feats, qctx)
+        else:
+            grouped, counts = query_and_group(
+                xyz,
+                new_xyz,
+                features,
+                radius=self.radius,
+                nsample=self.k,
+                neighbor_def=self.neighbor_def,
+                use_xyz=self.use_xyz,
+                include_abs_coordinate=self.include_abs_coordinate,
+                include_center_coordinate=self.include_center_coordinate,
+                subset=subset,
+                lossy_features=self.dtype is not None,
+            )
         out = ConditionedMLP(
             tuple(self.mlp),
             include_t=False,
@@ -423,11 +435,17 @@ class FeatureTransfer(nn.Module):
         )(grouped)
         if self.use_attention:
             assert query_feats is not None
-            return AttentionPool(
+            pooled = AttentionPool(
                 self.mlp[-1],
                 attention_bn=self.attention_bn,
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
                 dtype=self.dtype,
             )(query_feats, grouped, out, counts)
-        return pool_features(out, counts, pooling)
+        else:
+            pooled = pool_features(out, counts, pooling)
+        if pregrouped is not None:
+            from ..ops.pallas_window import unsort_rows
+
+            pooled = unsort_rows(pooled, pregrouped[2])
+        return pooled

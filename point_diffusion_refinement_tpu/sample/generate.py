@@ -62,9 +62,23 @@ def make_coarse_sampler(
 
         bsh, rep = batch_sharding(mesh), replicated(mesh)
 
+    # Inference-only windowed fused ball-gather for the level-0 FT pair
+    # (ops/pallas_window.py); ineligible configs/models silently keep the
+    # unfused path.  PDR_WINDOWED_FT=0 disables.
+    import inspect
+    import os
+
+    enc_kwargs = {}
+    if os.environ.get("PDR_WINDOWED_FT", "1") != "0" and "windowed_ft" in (
+        inspect.signature(model.encode_condition).parameters
+    ):
+        enc_kwargs = {"windowed_ft": True}
+
     @jax.jit
     def _encode(params, condition):
-        return model.apply(params, condition, method=model.encode_condition)
+        return model.apply(
+            params, condition, method=model.encode_condition, **enc_kwargs
+        )
 
     def _denoise_apply(params, batch_ctx, x, ts):
         label, cond_feats = batch_ctx
@@ -93,7 +107,9 @@ def make_coarse_sampler(
                 warm_start_step if XT is not None else None,
             )
 
-        cond_feats = model.apply(params, condition, method=model.encode_condition)
+        cond_feats = model.apply(
+            params, condition, method=model.encode_condition, **enc_kwargs
+        )
 
         def denoise_fn(x, ts):
             return model.apply(

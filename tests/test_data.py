@@ -219,7 +219,9 @@ class TestExperimentConfigs:
         from point_diffusion_refinement_tpu.train.loop import build_model
 
         paths = write_all(str(tmp_path))
-        assert len(paths) == 6
+        from point_diffusion_refinement_tpu.config.exp_configs import EXPERIMENTS
+
+        assert len(paths) == len(EXPERIMENTS) >= 7
         for p in paths:
             cfg = load_config(p)
             build_model(cfg["pointnet_config"])

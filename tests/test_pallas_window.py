@@ -1,0 +1,177 @@
+"""Parity tests for the windowed fused ball-query+gather kernel
+(ops/pallas_window.py) against the unfused reference ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_diffusion_refinement_tpu.ops.neighbors import ball_query
+from point_diffusion_refinement_tpu.ops.pallas_window import (
+    SupportCtx,
+    build_query_ctx,
+    build_support_ctx,
+    sort_rows,
+    unsort_rows,
+    windowed_ball_group,
+)
+from point_diffusion_refinement_tpu.ops.sampling import group_points
+
+B, N, M, K = 2, 384, 512, 8
+RADIUS = 0.25
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(7)
+    xyz = rng.uniform(-1, 1, (B, N, 3)).astype(np.float32)
+    # stretch one axis per batch so axis selection matters
+    xyz[0, :, 1] *= 3.0
+    xyz[1, :, 0] *= 2.5
+    q = rng.uniform(-1, 1, (B, M, 3)).astype(np.float32)
+    q[0, :, 1] *= 3.0
+    q[1, :, 0] *= 2.5
+    fa = rng.normal(size=(B, N, 4)).astype(np.float32)
+    fb = rng.normal(size=(B, N, 32)).astype(np.float32)
+    return tuple(map(jnp.asarray, (xyz, q, fa, fb)))
+
+
+def _run(xyz, q, fa, fb, window):
+    sup = build_support_ctx(xyz, [fa, fb])
+    qc = build_query_ctx(q, sup.axis_onehot)
+    return sup, qc, windowed_ball_group(
+        sup, qc, RADIUS, K, window=window, interpret=True
+    )
+
+
+class TestWindowedBallGroup:
+    def test_idx_counts_match_ball_query(self, clouds):
+        xyz, q, fa, fb = clouds
+        sup, qc, res = _run(xyz, q, fa, fb, window=384)
+        assert not bool(res.fell_back)
+        ref_idx, ref_cnt = ball_query(xyz, qc.xyz_sorted, RADIUS, K)
+        ref_cnt = jnp.minimum(ref_cnt, K)
+        np.testing.assert_array_equal(np.asarray(res.counts), np.asarray(ref_cnt))
+        # idx: compare only real slots; padding repeats slot 0 in both
+        got = np.asarray(res.idx)
+        ref = np.asarray(ref_idx)
+        cnt = np.asarray(ref_cnt)
+        for b in range(B):
+            for m in range(M):
+                c = cnt[b, m]
+                np.testing.assert_array_equal(got[b, m, :c], ref[b, m, :c])
+                if c > 0:
+                    assert (got[b, m, c:] == ref[b, m, 0]).all()
+
+    def test_grouped_features_match_gather(self, clouds):
+        xyz, q, fa, fb = clouds
+        sup, qc, res = _run(xyz, q, fa, fb, window=384)
+        ref_idx, ref_cnt = ball_query(xyz, qc.xyz_sorted, RADIUS, K)
+        have = (jnp.minimum(ref_cnt, K) > 0)[:, :, None, None]
+        center = qc.xyz_sorted[:, :, None, :]
+        abs_ref = group_points(xyz, ref_idx)
+        abs_ref = jnp.where(have, abs_ref, center)
+        rel_ref = abs_ref - center
+        for gi, feats in ((0, fa), (1, fb)):
+            g = res.grouped[gi]
+            C = feats.shape[-1]
+            f_ref = jnp.where(have, group_points(feats, ref_idx), 0)
+            np.testing.assert_allclose(
+                np.asarray(g[..., :C], np.float32),
+                np.asarray(f_ref.astype(jnp.bfloat16), np.float32),
+                rtol=0, atol=0,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g[..., C:C + 3], np.float32),
+                np.asarray(rel_ref, np.float32),
+                atol=2e-2, rtol=0,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g[..., C + 3:C + 6], np.float32),
+                np.asarray(abs_ref, np.float32),
+                atol=2e-2, rtol=0,
+            )
+
+    def test_fallback_on_overflow_matches(self, clouds):
+        xyz, q, fa, fb = clouds
+        _, _, res_win = _run(xyz, q, fa, fb, window=384)
+        _, _, res_fb = _run(xyz, q, fa, fb, window=128)  # forces overflow
+        assert bool(res_fb.fell_back)
+        np.testing.assert_array_equal(
+            np.asarray(res_fb.counts), np.asarray(res_win.counts)
+        )
+        cnt = np.asarray(res_win.counts)
+        mask = (np.arange(K)[None, None, :] < cnt[:, :, None]) & (cnt[:, :, None] > 0)
+        np.testing.assert_array_equal(
+            np.asarray(res_fb.idx)[mask], np.asarray(res_win.idx)[mask]
+        )
+        for gi in range(2):
+            a = np.asarray(res_fb.grouped[gi], np.float32)
+            b = np.asarray(res_win.grouped[gi], np.float32)
+            np.testing.assert_allclose(a, b, atol=2e-2, rtol=0)
+
+    def test_sort_unsort_roundtrip(self, clouds):
+        xyz, q, fa, fb = clouds
+        sup = build_support_ctx(xyz, [fa])
+        qc = build_query_ctx(q, sup.axis_onehot)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(B, M, 5)),
+                        jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(unsort_rows(sort_rows(x, qc), qc)), np.asarray(x)
+        )
+        # sorted positions really are the sort of the originals
+        np.testing.assert_allclose(
+            np.asarray(sort_rows(q, qc)), np.asarray(qc.xyz_sorted), rtol=1e-6
+        )
+
+    def test_table_budget_guard(self, clouds):
+        xyz, q, fa, fb = clouds
+        big = jnp.zeros((B, N, 130), jnp.float32)
+        assert build_support_ctx(xyz, [big]) is None
+
+
+class TestModelWindowedFT:
+    def test_denoise_matches_unfused(self):
+        """Full-scale bf16 model: denoise with the windowed level-0 FT pair
+        == the unfused path, up to the hi/lo bf16 position reconstruction."""
+        from point_diffusion_refinement_tpu.config import DEFAULT_POINTNET_CONFIG
+        from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
+
+        cfg = dict(DEFAULT_POINTNET_CONFIG)
+        cfg["compute_dtype"] = "bfloat16"
+        model = PointNet2CloudCondition.from_config(cfg)
+        rng = np.random.default_rng(3)
+        Bm = 1
+        x = jnp.asarray(rng.uniform(-0.5, 0.5, (Bm, 2048, 3)).astype(np.float32))
+        cond = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(-0.5, 0.5, (Bm, 3072, 3)),
+                    rng.integers(0, 2, (Bm, 3072, 1)) * 2.0 - 1.0,
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        ts = jnp.full((Bm,), 17.0)
+        label = jnp.zeros((Bm,), jnp.int32)
+        params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
+
+        cf_plain = model.apply(params, cond, method=model.encode_condition)
+        assert cf_plain.ft0_sup is None
+        cf_win = model.apply(
+            params, cond, windowed_ft=True, method=model.encode_condition
+        )
+        assert cf_win.ft0_sup is not None
+
+        out_plain = model.apply(
+            params, x, ts, label, cf_plain, method=model.denoise
+        )
+        out_win = model.apply(params, x, ts, label, cf_win, method=model.denoise)
+        a = np.asarray(out_plain, np.float32)
+        b = np.asarray(out_win, np.float32)
+        # identical ball sets and counts; grouped tensors match to bf16
+        # rounding (~1e-3, verified at the grouped level in
+        # TestWindowedBallGroup) — through attention + 4 SA/FP levels that
+        # grows to a few 1e-2 max / ~1e-3 mean at the eps head
+        np.testing.assert_allclose(a, b, atol=8e-2, rtol=0)
+        assert np.mean(np.abs(a - b)) < 4e-3

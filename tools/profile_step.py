@@ -46,9 +46,13 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
     schedule = diffusion.calc_diffusion_hyperparams(1000, 1e-4, 0.02)
 
+    windowed = os.environ.get("PDR_WINDOWED_FT", "1") != "0"
+
     @jax.jit
     def encode(params, cond):
-        return model.apply(params, cond, method=model.encode_condition)
+        return model.apply(
+            params, cond, windowed_ft=windowed, method=model.encode_condition
+        )
 
     cond_feats = encode(params, cond)
     jax.block_until_ready(cond_feats)
