@@ -8,10 +8,124 @@ neighbor slots is count-masked exactly as attention.py:84-90.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.neighbors import count_to_mask
 from .common import PartialGroupNorm
+
+
+class _GNParams(nn.Module):
+    """Bare GroupNorm affine params — named ``GroupNorm_0`` by its parent so
+    the param tree matches a real ``PartialGroupNorm``'s child exactly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
+class _SplitConcatGroupNorm(nn.Module):
+    """PartialGroupNorm of ``concat([broadcast_K(q), k], -1)`` computed
+    WITHOUT materializing the (B, M, K, C1+C2) concatenation.
+
+    Per-(batch, group) statistics reduce over (M, K, channels-in-group); q is
+    constant over the K axis, so its per-channel sums enter with weight K and
+    the group moments factor exactly across the q/k channel boundary.  The
+    per-channel affine then keeps the q half K-independent, so the normalized
+    halves are returned separately: ``(qn (B,M,C1), kn (B,M,K,C2))``.
+
+    Matches flax GroupNorm numerics: f32 reductions, fast variance
+    ``max(0, E[x^2] - E[x]^2)``, eps 1e-5; trailing ``C % num_groups``
+    channels pass through untouched (PartialGroupNorm / MyGroupNorm,
+    pointnet2_modules.py:23-40).  The param tree is identical to
+    ``PartialGroupNorm`` (child ``GroupNorm_0`` with scale/bias of the
+    normalized width), so checkpoints convert 1:1.
+    """
+
+    num_groups: int
+    k_slots: int  # K, static
+
+    @nn.compact
+    def __call__(self, q, k):
+        c1 = int(q.shape[-1])
+        c2 = int(k.shape[-1])
+        c = c1 + c2
+        normed_c = c - c % self.num_groups
+        if normed_c == 0:
+            return q, k
+        scale, bias = _GNParams(normed_c, name="GroupNorm_0")()
+        gs = normed_c // self.num_groups
+        K = float(self.k_slots)
+        M = q.shape[1]
+        cnt = float(M) * float(self.k_slots) * gs
+
+        xq = q.astype(jnp.float32)
+        xk = k.astype(jnp.float32)
+        sum_c = jnp.concatenate(
+            [jnp.sum(xq, axis=1) * K, jnp.sum(xk, axis=(1, 2))], axis=-1
+        )[:, :normed_c]  # (B, normed_c) per-channel sums, q weighted by K
+        ssq_c = jnp.concatenate(
+            [jnp.sum(xq * xq, axis=1) * K, jnp.sum(xk * xk, axis=(1, 2))],
+            axis=-1,
+        )[:, :normed_c]
+        B = sum_c.shape[0]
+        mean = sum_c.reshape(B, self.num_groups, gs).sum(-1) / cnt
+        var = jnp.maximum(
+            ssq_c.reshape(B, self.num_groups, gs).sum(-1) / cnt - mean * mean,
+            0.0,
+        )
+        rstd = jax.lax.rsqrt(var + 1e-5)  # torch/flax eps
+        mul = jnp.repeat(rstd, gs, axis=-1) * scale[None]  # (B, normed_c)
+        add = bias[None] - jnp.repeat(mean, gs, axis=-1) * mul
+
+        nq = min(c1, normed_c)  # q channels that are normalized (all, in practice)
+        qn = xq[..., :nq] * mul[:, None, :nq] + add[:, None, :nq]
+        if nq < c1:
+            qn = jnp.concatenate([qn, xq[..., nq:]], axis=-1)
+        nk = normed_c - nq
+        kn = xk[..., :nk] * mul[:, None, None, nq:] + add[:, None, None, nq:]
+        if nk < c2:
+            kn = jnp.concatenate([kn, xk[..., nk:]], axis=-1)
+        return qn, kn
+
+
+class _SplitDense(nn.Module):
+    """``nn.Dense`` over ``concat([broadcast_K(q), k], -1)`` without the
+    broadcast/concat: the kernel splits at the q/k channel boundary into a
+    per-center (K-free) matmul and a grouped matmul.  Param tree and
+    initialization are identical to ``nn.Dense`` on the concatenated input.
+    Returns ``(q_part (B,M,F), k_part (B,M,K,F))`` with the bias folded into
+    the k part; the caller adds them (broadcasting q over K).
+    """
+
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, q, k):
+        in_dim = int(q.shape[-1]) + int(k.shape[-1])
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        q, k, kernel, bias = nn.dtypes.promote_dtype(
+            q, k, kernel, bias, dtype=self.dtype
+        )
+        c1 = q.shape[-1]
+        qp = q @ kernel[:c1]
+        kp = k @ kernel[c1:] + bias
+        return qp, kp
 
 
 class AttentionPool(nn.Module):
@@ -24,6 +138,16 @@ class AttentionPool(nn.Module):
 
     Scores are an MLP over [conv(query) broadcast, conv(key)]; softmax over K
     with invalid slots masked to -1e9; output is the weighted value sum.
+
+    TPU restructuring (value-equivalent, verified against the torch reference
+    in tests/test_reference_parity.py): the reference broadcasts conv(query)
+    to every neighbor slot and concatenates before its BN + conv stack
+    (attention.py:41-57) — on TPU that materializes a (B, M, K, C1+C2)
+    tensor several times over in HBM.  Since the q half is constant over K,
+    the first GroupNorm's group statistics factor across the q/k channel
+    boundary and the following 1x1 conv splits into a per-center matmul
+    (K-free) plus a grouped matmul; the two halves only meet at the
+    relu(q_part + k_part) of the *narrow* (inter_c-wide) hidden layer.
     """
 
     out_features: int
@@ -40,19 +164,20 @@ class AttentionPool(nn.Module):
         c2 = max(grouped_feat.shape[-1], 32)
         inter_c = min(c1 + c2, c_out)
 
-        q = nn.Dense(c1, dtype=self.dtype)(feat)[:, :, None, :]  # (B, M, 1, C1)
-        q = jnp.broadcast_to(q, q.shape[:2] + (K, c1))
-        k = nn.Dense(c2, dtype=self.dtype)(grouped_feat)  # (B, M, K, C2)
-        total = jnp.concatenate([q, k], axis=-1)
+        q = nn.Dense(c1, dtype=self.dtype, name="Dense_0")(feat)  # (B, M, C1)
+        k = nn.Dense(c2, dtype=self.dtype, name="Dense_1")(grouped_feat)
 
-        h = jnp.maximum(total, 0.0)  # ReLU precedes the norm (attention.py:46-57)
+        hq = jnp.maximum(q, 0.0)  # ReLU precedes the norm (attention.py:46-57)
+        hk = jnp.maximum(k, 0.0)
         if self.attention_bn:
-            h = PartialGroupNorm(min(32, c1 + c2))(h)
-        h = nn.Dense(inter_c, dtype=self.dtype)(h)
-        h = jnp.maximum(h, 0.0)
+            hq, hk = _SplitConcatGroupNorm(
+                min(32, c1 + c2), K, name="PartialGroupNorm_0"
+            )(hq, hk)
+        qp, kp = _SplitDense(inter_c, self.dtype, name="Dense_2")(hq, hk)
+        h = jnp.maximum(qp[:, :, None, :] + kp, 0.0)  # (B, M, K, inter_c)
         if self.attention_bn:
-            h = PartialGroupNorm(min(32, inter_c))(h)
-        scores = nn.Dense(c_out, dtype=self.dtype)(h)  # (B, M, K, C_out)
+            h = PartialGroupNorm(min(32, inter_c), name="PartialGroupNorm_1")(h)
+        scores = nn.Dense(c_out, dtype=self.dtype, name="Dense_3")(h)
 
         if not (isinstance(counts, str) and counts == "all"):
             c = jnp.maximum(counts, 1)
@@ -62,10 +187,10 @@ class AttentionPool(nn.Module):
 
         v = grouped_feat_out
         if self.transform_grouped_feat_out:
-            v = nn.Dense(c_out, dtype=self.dtype)(v)
+            v = nn.Dense(c_out, dtype=self.dtype, name="Dense_4")(v)
             if self.last_activation:
                 if self.attention_bn:
-                    v = PartialGroupNorm(min(32, c_out))(v)
+                    v = PartialGroupNorm(min(32, c_out), name="PartialGroupNorm_2")(v)
                 v = jnp.maximum(v, 0.0)
         return jnp.sum(v * weight, axis=-2)  # (B, M, C_out)
 

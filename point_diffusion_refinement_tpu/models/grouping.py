@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.neighbors import ball_query, knn
-from ..ops.sampling import group_points
+from ..ops.sampling import group_points_with_xyz
 
 Counts = Union[jax.Array, str]  # (B, M) int32, or 'all' for kNN groups
 
@@ -134,7 +134,11 @@ def query_and_group(
         raise ValueError(f"Neighbor definition {neighbor_def} is not supported")
 
     if not fused:
-        abs_xyz = group_points(xyz, idx)  # (B, M, K, 3)
+        # positions + features in ONE one-hot contraction (each MXU gather
+        # pass pays for 128 lanes regardless of width)
+        abs_xyz, packed_features = group_points_with_xyz(
+            xyz, features, idx, lossy_features=lossy_features
+        )
     center = new_xyz[:, :, None, :]  # (B, M, 1, 3)
     if (not subset) and neighbor_def == "radius":
         have = (counts_arr > 0).astype(abs_xyz.dtype)[..., None, None]  # (B,M,1,1)
@@ -152,11 +156,7 @@ def query_and_group(
         grouped_xyz = jnp.concatenate([grouped_xyz, c], axis=-1)
 
     if features is not None:
-        grouped_features = (
-            fused_features
-            if fused
-            else group_points(features, idx, lossy=lossy_features)
-        )
+        grouped_features = fused_features if fused else packed_features
         if not subset and neighbor_def == "radius":
             grouped_features = have * grouped_features  # zero-feature default
         if use_xyz:
@@ -202,8 +202,9 @@ def group_knn_features(
       (B, N1, K, C+11).
     """
     dist, idx = knn(x, y, k)  # squared distances, like pytorch3d knn_points
-    neigh_feats = group_points(features_at_y, idx, lossy=lossy_features)
-    nn_abs = group_points(y, idx)  # (B, N1, K, 3)
+    nn_abs, neigh_feats = group_points_with_xyz(
+        y, features_at_y, idx, lossy_features=lossy_features
+    )  # (B, N1, K, 3), (B, N1, K, C) — one fused one-hot contraction
     x_rep = jnp.broadcast_to(x[:, :, None, :], nn_abs.shape)
     nn_rel = nn_abs - x_rep
     d = dist[..., None]  # (B, N1, K, 1)

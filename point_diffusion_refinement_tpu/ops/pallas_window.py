@@ -220,7 +220,8 @@ def sort_rows(x: jax.Array, ctx: QueryCtx) -> jax.Array:
 
 
 def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
-                   starts_ref, sup_ref, q_ref, tab_ref, out_ref, cnt_ref):
+                   empty_mode, starts_ref, sup_ref, q_ref, tab_ref, row0_ref,
+                   out_ref, cnt_ref):
     """Grid (B, M/MT).  Resident support planes/table dynamic-sliced to the
     tile's window; rank-matmul first-K selection; per-k MXU gathers."""
     b = pl.program_id(0)
@@ -259,10 +260,17 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
         s = sel.astype(jnp.bfloat16)
         g = jax.lax.dot_general(s, tab, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (MT, CT)
+        if empty_mode == "row0":
+            # subset=True semantics: the reference ball query leaves idx=0 for
+            # empty balls (ball_query_gpu.cu:9-47 zero-initialized output), so
+            # every slot gathers support row 0 — its packed row rides in as a
+            # dedicated (1, CT) operand since row 0 may fall outside the window.
+            g = jnp.where(have, g, row0_ref[0].astype(jnp.float32))
         absx = g[:, 0:3] + g[:, 3:6]          # reconstructed f32 positions
-        # empty balls: substitute the center itself, zero features
-        # (QueryAndGroup subset=False, pointnet2_utils.py:376-410)
-        absx = jnp.where(have, absx, qT[:, :3])
+        if empty_mode == "center_zero":
+            # empty balls: substitute the center itself, zero features
+            # (QueryAndGroup subset=False, pointnet2_utils.py:376-410)
+            absx = jnp.where(have, absx, qT[:, :3])
         rel = absx - qT[:, :3]
         relb = rel.astype(jnp.bfloat16)
         absb = absx.astype(jnp.bfloat16)
@@ -287,10 +295,11 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
     out_ref[0, :, :] = jnp.concatenate(pieces, axis=1)  # (MT, K*out_cols)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
-def _windowed_call(planes, table_sorted, q_sorted8, starts,
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
                    radius: float, nsample: int, W: int, feat_dims: tuple,
-                   include_center: bool = False, interpret: bool = False):
+                   include_center: bool = False, empty_mode: str = "center_zero",
+                   interpret: bool = False):
     B, Np, _ = planes.shape
     M = q_sorted8.shape[-1]
     MT = _row_tile(M)
@@ -300,7 +309,7 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts,
     out_cols = _round_up(sum(fd + pos_cols for fd in feat_dims) + 2, 128)
     kernel = functools.partial(
         _window_kernel, float(radius), nsample, W, feat_dims, out_cols,
-        include_center,
+        include_center, empty_mode,
     )
     grid = (B, M // MT)
     out, cnt = pl.pallas_call(
@@ -314,6 +323,8 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts,
                 pl.BlockSpec((1, 8, MT), lambda b, t, s: (b, 0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Np, CT), lambda b, t, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, CT), lambda b, t, s: (b, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -330,12 +341,13 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts,
             jax.ShapeDtypeStruct((B, M, 8), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, planes, q_sorted8, table_sorted)
+    )(starts, planes, q_sorted8, table_sorted, row0)
     return out.reshape(B, M, nsample, out_cols), cnt[:, :, 0]
 
 
 def _fallback_group(sup: SupportCtx, q: QueryCtx, radius, nsample,
-                    include_center: bool = False):
+                    include_center: bool = False,
+                    empty_mode: str = "center_zero"):
     """Exact unwindowed path with bit-identical outputs to the kernel:
     full Pallas/XLA ball query on the original support order + lossy
     (single-bf16) gathers of the same packed table."""
@@ -352,7 +364,11 @@ def _fallback_group(sup: SupportCtx, q: QueryCtx, radius, nsample,
     absx = gf[..., 0:3] + gf[..., 3:6]
     have = (counts > 0)[:, :, None, None]
     center = q.xyz_sorted[:, :, None, :]
-    absx = jnp.where(have, absx, center)
+    if empty_mode == "center_zero":
+        # subset=False: empty balls substitute the center, zero features
+        absx = jnp.where(have, absx, center)
+    # empty_mode == "row0": ball_query leaves idx=0 for empty balls, so the
+    # gather above already holds support row 0 — nothing to substitute
     rel = absx - center
     relb = rel.astype(jnp.bfloat16)
     absb = absx.astype(jnp.bfloat16)
@@ -361,7 +377,10 @@ def _fallback_group(sup: SupportCtx, q: QueryCtx, radius, nsample,
     pieces = []
     off = 8
     for fd in sup.feat_dims:
-        pieces.append(jnp.where(have, g[..., off:off + fd], 0))
+        if empty_mode == "center_zero":
+            pieces.append(jnp.where(have, g[..., off:off + fd], 0))
+        else:
+            pieces.append(g[..., off:off + fd])
         pieces.append(relb)
         pieces.append(absb)
         if include_center:
@@ -392,6 +411,7 @@ def windowed_ball_group(
     nsample: int,
     window: Optional[int] = None,
     include_center: bool = False,
+    empty_mode: str = "center_zero",
     interpret: bool = False,
 ) -> WindowedGroups:
     """First-<=K-in-index-order ball grouping of every packed feature table
@@ -399,6 +419,12 @@ def windowed_ball_group(
 
     Outputs are in *sorted-query* order: run per-center work (MLP /
     attention pooling) in that order and `unsort_rows` the pooled result.
+
+    empty_mode: what an empty ball yields — "center_zero" substitutes the
+    center position with zero features (QueryAndGroup subset=False,
+    pointnet2_utils.py:376-410); "row0" gathers support row 0 like the
+    reference ball query's zero-initialized idx (subset=True,
+    ball_query_gpu.cu:9-47).
     """
     B, Np, _ = sup.planes.shape
     M = q.xyz_sorted.shape[1]
@@ -425,15 +451,19 @@ def windowed_ball_group(
         axis=1,
     )
 
+    row0 = sup.table_orig[:, 0, :]  # (B, CT) — "row0" empty-ball substitute
+
     def windowed(_):
         return _windowed_call(
-            sup.planes, sup.table_sorted, q8, starts,
+            sup.planes, sup.table_sorted, q8, starts, row0,
             float(radius), nsample, W, sup.feat_dims, include_center,
-            interpret,
+            empty_mode, interpret,
         )
 
     def fallback(_):
-        out, counts = _fallback_group(sup, q, radius, nsample, include_center)
+        out, counts = _fallback_group(
+            sup, q, radius, nsample, include_center, empty_mode
+        )
         return out, counts
 
     out, counts = jax.lax.cond(overflow, fallback, windowed, operand=None)

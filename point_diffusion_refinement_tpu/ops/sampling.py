@@ -125,6 +125,66 @@ def _group_points_onehot(points: jax.Array, idx: jax.Array, lossy: bool = False)
     )
 
 
+def group_points_with_xyz(
+    xyz: jax.Array,
+    features: jax.Array | None,
+    idx: jax.Array,
+    lossy_features: bool = False,
+):
+    """Gather neighbor positions AND features with ONE one-hot contraction.
+
+    Equivalent to ``(group_points(xyz, idx), group_points(features, idx,
+    lossy_features))`` but packs both tables into a single (B, N, 3[+3]+C)
+    einsum operand: every one-hot MXU contraction pays for 128 output lanes
+    regardless of width, so gathering the 3-wide positions separately from
+    the C-wide features costs two full matmul passes where one suffices
+    (profiled ~0.2 ms each at (4, 1024, 32) x 2048 on v5e).  Positions are
+    reconstructed from hi/lo bfloat16 halves (~16 mantissa bits) exactly as
+    ``group_points(lossy=False)`` does.
+
+    Returns:
+      (abs_xyz (B, M, K, 3) f32, grouped_features (B, M, K, C) or None).
+    """
+    if not _use_pallas():
+        g_xyz = group_points(xyz, idx)
+        g_feat = (
+            group_points(features, idx, lossy=lossy_features)
+            if features is not None
+            else None
+        )
+        return g_xyz, g_feat
+    N = xyz.shape[1]
+    oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)  # fused, never materialized
+    xhi = xyz.astype(jnp.bfloat16)
+    xlo = (xyz.astype(jnp.float32) - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if features is None:
+        out = jnp.einsum(
+            "bmkn,bnc->bmkc", oh, jnp.concatenate([xhi, xlo], axis=-1),
+            preferred_element_type=jnp.float32,
+        )
+        return out[..., 0:3] + out[..., 3:6], None
+    if lossy_features:
+        table = jnp.concatenate(
+            [xhi, xlo, features.astype(jnp.bfloat16)], axis=-1
+        )
+        out = jnp.einsum(
+            "bmkn,bnc->bmkc", oh, table, preferred_element_type=jnp.float32
+        )
+        return out[..., 0:3] + out[..., 3:6], out[..., 6:]
+    fhi = features.astype(jnp.bfloat16)
+    flo = (features.astype(jnp.float32) - fhi.astype(jnp.float32)).astype(
+        jnp.bfloat16
+    )
+    hi_t = jnp.concatenate([xhi, fhi], axis=-1)
+    lo_t = jnp.concatenate([xlo, flo], axis=-1)
+    out = jnp.einsum(
+        "bmkn,bnc->bmkc", oh, hi_t, preferred_element_type=jnp.float32
+    ) + jnp.einsum(
+        "bmkn,bnc->bmkc", oh, lo_t, preferred_element_type=jnp.float32
+    )
+    return out[..., 0:3], out[..., 3:]
+
+
 def group_points(points: jax.Array, idx: jax.Array, lossy: bool = False) -> jax.Array:
     """Gather neighbor groups: (B, N, C) x (B, M, K) -> (B, M, K, C).
 

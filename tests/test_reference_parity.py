@@ -111,7 +111,7 @@ class TestConditionedMLP:
             t_emb=jnp.asarray(t_emb), condition_emb=jnp.asarray(c_emb),
             second_condition_emb=jnp.asarray(c2_emb),
         )
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
 
     def test_first_conv_swish(self, rng_np):
         mlp_spec = [10, 16, 16, 16]
@@ -130,7 +130,7 @@ class TestConditionedMLP:
         )
         params = {"params": _convert_mlp_plus_t(_sd(tm), "m")}
         out = fm.apply(params, jnp.asarray(np.moveaxis(x, 1, -1)))
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
 
 
 class TestAttentionPool:
@@ -161,7 +161,7 @@ class TestAttentionPool:
             jnp.asarray(np.moveaxis(value, 1, -1)),
             jnp.asarray(counts),
         )
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
 
 
 class TestPnet2Stage:
@@ -182,7 +182,7 @@ class TestPnet2Stage:
             }
         }
         out = fm.apply(params, jnp.asarray(np.moveaxis(x, 1, -1)))
-        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
 
 
 class TestPooling:
