@@ -36,6 +36,25 @@ except ImportError:  # pragma: no cover
 VIEWS_PER_SHAPE = 26
 
 
+def _find_h5(dir_path: str, canonical: str, pattern: str) -> str:
+    """Resolve a generated-data h5: the reference hardcodes the 2048-pt name
+    (mvp_dataset.py:105-127 — generation is always 2048 pts there); when
+    generating at other resolutions the pipeline writes
+    ``mvp_generated_data_{n}pts.h5``, so fall back to a unique glob match."""
+    p = os.path.join(dir_path, canonical)
+    if os.path.exists(p):
+        return p
+    import glob
+
+    matches = sorted(glob.glob(os.path.join(dir_path, pattern)))
+    if len(matches) == 1:
+        return matches[0]
+    raise FileNotFoundError(
+        f"no {canonical} (or unique {pattern}) under {dir_path}; "
+        f"found {matches}"
+    )
+
+
 @dataclass
 class MVPDatasetConfig:
     data_dir: str
@@ -86,8 +105,10 @@ class MVPDataset:
 
         self.generated_XT = None
         if cfg.load_pre_computed_XT:
-            xt_file = os.path.join(
-                cfg.XT_folder, split, f"mvp_generated_data_2048pts_T{cfg.T_step}.h5"
+            xt_file = _find_h5(
+                os.path.join(cfg.XT_folder, split),
+                f"mvp_generated_data_2048pts_T{cfg.T_step}.h5",
+                f"mvp_generated_data_*pts_T{cfg.T_step}.h5",
             )
             with h5py.File(xt_file, "r") as f:
                 self.generated_XT = np.array(f["data"])
@@ -102,7 +123,11 @@ class MVPDataset:
                     if f.startswith("trial")
                 ]
                 gen_dir = random.choice([gen_dir] + trials)
-            gen_file = os.path.join(gen_dir, split, "mvp_generated_data_2048pts.h5")
+            gen_file = _find_h5(
+                os.path.join(gen_dir, split),
+                "mvp_generated_data_2048pts.h5",
+                "mvp_generated_data_*pts.h5",
+            )
             with h5py.File(gen_file, "r") as f:
                 self.generated_sample = np.array(f["data"])
 

@@ -265,7 +265,7 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
             # empty balls (ball_query_gpu.cu:9-47 zero-initialized output), so
             # every slot gathers support row 0 — its packed row rides in as a
             # dedicated (1, CT) operand since row 0 may fall outside the window.
-            g = jnp.where(have, g, row0_ref[0].astype(jnp.float32))
+            g = jnp.where(have, g, row0_ref[0, 0].astype(jnp.float32))
         absx = g[:, 0:3] + g[:, 3:6]          # reconstructed f32 positions
         if empty_mode == "center_zero":
             # empty balls: substitute the center itself, zero features
@@ -324,7 +324,10 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Np, CT), lambda b, t, s: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CT), lambda b, t, s: (b, 0),
+                # (1, 1, CT): every block dim equals 1 or the full array dim,
+                # which real-TPU lowering requires (a (1, CT) block of a
+                # (B, CT) array is rejected when B > 1 and CT % 128 != 0)
+                pl.BlockSpec((1, 1, CT), lambda b, t, s: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -451,7 +454,7 @@ def windowed_ball_group(
         axis=1,
     )
 
-    row0 = sup.table_orig[:, 0, :]  # (B, CT) — "row0" empty-ball substitute
+    row0 = sup.table_orig[:, :1, :]  # (B, 1, CT) — "row0" empty-ball substitute
 
     def windowed(_):
         return _windowed_call(

@@ -94,6 +94,14 @@ def run_generation(
     ts_cfg = config.get("mvp_dataset_config", {})
     schedule = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
     model = build_model(pointnet_config)
+    # the reference's generation driver also serves the refinement task: one
+    # net forward + point_upsample per batch instead of the reverse process
+    # (generate_samples.py:419-457 -> completion_eval.py:159-168)
+    task = train_config.get("task", "completion")
+    refine_task = task == "refine_completion"
+    output_scale_factor = config.get("refine_config", {}).get(
+        "output_scale_factor", 0.001
+    )
 
     # resolve checkpoint
     if state_override is not None:
@@ -156,18 +164,33 @@ def run_generation(
         bs = batch_size or ts_cfg.get("eval_batch_size", 32)
 
         npoints = ts_cfg.get("npoints", 2048)
-        # segment long ancestral schedules into bounded device executions;
-        # FastDPM plans are short, keep them as one jitted program
-        seg = None if fast_sampling else segment_size
-        sampler = make_coarse_sampler(
-            model, schedule, num_points=npoints, fast_plan=plan,
-            t_slices=t_slices,
-            warm_start_step=T_step if use_a_precomputed_XT else None,
-            segment_size=seg,
-            mesh=mesh,
-        )
-        if seg is None:
-            sampler = jax.jit(sampler)
+        if refine_task:
+            from .generate import make_refiner
+
+            refiner = jax.jit(
+                make_refiner(
+                    model,
+                    point_upsample_factor=pointnet_config.get(
+                        "point_upsample_factor", 1
+                    ),
+                    include_displacement_center=pointnet_config.get(
+                        "include_displacement_center_to_final_output", False
+                    ),
+                )
+            )
+        else:
+            # segment long ancestral schedules into bounded device
+            # executions; FastDPM plans are short, keep them jitted whole
+            seg = None if fast_sampling else segment_size
+            sampler = make_coarse_sampler(
+                model, schedule, num_points=npoints, fast_plan=plan,
+                t_slices=t_slices,
+                warm_start_step=T_step if use_a_precomputed_XT else None,
+                segment_size=seg,
+                mesh=mesh,
+            )
+            if seg is None:
+                sampler = jax.jit(sampler)
 
         if state_override is None:
             # need an example state pytree: init params from one batch
@@ -176,11 +199,15 @@ def run_generation(
             ex = next(iterate_batches(dataset, 1, shuffle=False))
             # jit the init: eager init dispatches thousands of ops one RPC at
             # a time through the TPU tunnel (minutes); jitted it is one program
+            net_in = jnp.asarray(
+                ex.get("generated", ex["complete"]) if refine_task
+                else ex["complete"]
+            )
             params = jax.jit(model.init)(
                 jax.random.key(0),
-                jnp.asarray(ex["complete"]),
+                net_in,
                 jnp.asarray(ex["partial"]),
-                jnp.zeros((1,), jnp.float32),
+                None if refine_task else jnp.zeros((1,), jnp.float32),
                 jnp.asarray(ex["label"]),
             )
             from ..train.step import create_train_state
@@ -197,21 +224,45 @@ def run_generation(
             params = jax.device_put(params, replicated(mesh))
         rng_holder = [jax.random.key(1000 + trial)]
 
-        def gen_fn(batch):
-            rng_holder[0], k = jax.random.split(rng_holder[0])
-            B = batch["partial"].shape[0]
-            cond = pad_batch_rows(np.asarray(batch["partial"]), data_par)
-            label = pad_batch_rows(np.asarray(batch["label"]), data_par)
-            XT = (
-                jnp.asarray(pad_batch_rows(np.asarray(batch["XT"]), data_par))
-                if use_a_precomputed_XT and "XT" in batch
-                else None
-            )
-            out = sampler(params, k, jnp.asarray(cond), jnp.asarray(label), XT)
-            if isinstance(out, tuple):
-                x, slices = out
-                return x[:B], {t: v[:B] for t, v in slices.items()}
-            return out[:B]
+        if refine_task:
+
+            def gen_fn(batch):
+                B = batch["partial"].shape[0]
+                coarse = jnp.asarray(pad_batch_rows(
+                    np.asarray(batch.get("generated", batch["complete"])),
+                    data_par,
+                ))
+                cond = jnp.asarray(
+                    pad_batch_rows(np.asarray(batch["partial"]), data_par)
+                )
+                lab = jnp.asarray(
+                    pad_batch_rows(np.asarray(batch["label"]), data_par)
+                )
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    coarse, cond, lab = shard_batch((coarse, cond, lab), mesh)
+                return refiner(
+                    params, coarse, cond, lab, jnp.float32(output_scale_factor)
+                )[:B]
+
+        else:
+
+            def gen_fn(batch):
+                rng_holder[0], k = jax.random.split(rng_holder[0])
+                B = batch["partial"].shape[0]
+                cond = pad_batch_rows(np.asarray(batch["partial"]), data_par)
+                label = pad_batch_rows(np.asarray(batch["label"]), data_par)
+                XT = (
+                    jnp.asarray(pad_batch_rows(np.asarray(batch["XT"]), data_par))
+                    if use_a_precomputed_XT and "XT" in batch
+                    else None
+                )
+                out = sampler(params, k, jnp.asarray(cond), jnp.asarray(label), XT)
+                if isinstance(out, tuple):
+                    x, slices = out
+                    return x[:B], {t: v[:B] for t, v in slices.items()}
+                return out[:B]
 
         from ..data import iterate_batches
 
