@@ -10,9 +10,10 @@ TPU design: each round is three (n x m) matrix contractions — exp(level*D)
 against the remaining masses — which map straight onto the MXU; the 10-round
 loop is a `lax.scan`.  The full match matrix is never stored across rounds
 when only the cost is needed: the per-round mass delta is contracted with D
-on the fly.  Gradients are provided by a custom VJP that replays the rounds
-and accumulates the analytic gradient (matchcostgrad1/2 in emd_kernel.cu)
-without retaining per-round (n x m) residuals.
+on the fly.  Gradients are provided by a custom VJP that stores the thin
+per-round mass ratios and accumulates the analytic gradient
+(matchcostgrad1/2 in emd_kernel.cu) from them — no auction replay and no
+(n x m) residuals.
 """
 
 from __future__ import annotations
@@ -91,10 +92,15 @@ def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     d = pairwise_sqdist(xyz1, xyz2)  # (B, n, m)
     _, ratiosL, ratiosR = _auction_rounds(d, n, m)
     levels = jnp.asarray(_LEVELS, dtype=jnp.float32)
-    w = jnp.exp(levels[:, None, None, None] * d[None])  # (10, B, n, m)
-    match = jnp.einsum(
-        "rbn,rbnm,rbm->bnm", ratiosL, w, ratiosR, preferred_element_type=jnp.float32
-    )
+
+    def body(acc, inputs):
+        level, rL, rR = inputs
+        w = jnp.exp(level * d)
+        return acc + rL[:, :, None] * w * rR[:, None, :], None
+
+    match, _ = jax.lax.scan(
+        body, jnp.zeros_like(d), (levels, ratiosL, ratiosR)
+    )  # accumulated round-by-round: peak memory one (B, n, m), not ten
     return jnp.swapaxes(match, 1, 2)
 
 
@@ -116,28 +122,64 @@ def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
 
 
 def _emd_fwd(xyz1, xyz2):
-    return earth_mover_distance(xyz1, xyz2), (xyz1, xyz2)
+    """Forward that stores the per-round mass ratios as residuals.
+
+    The reference backward reuses the stored (m, n) match
+    (emd_kernel.cu matchcostgrad1/2 read the forward's `match`); here the
+    match's rank-structured decomposition match = sum_r ratioL_r (x) w_r (x)
+    ratioR_r is stored instead — (10, B, n) + (10, B, m) floats, ~n/10 the
+    match's footprint — and the backward re-forms only the thin
+    match-vector contractions it needs, round by round, without replaying
+    the sequential auction or materializing any (B, n, m) round tensor."""
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    d = pairwise_sqdist(xyz1, xyz2)
+    cost, ratiosL, ratiosR = _auction_rounds(d, n, m)
+    return cost / max(n, m), (xyz1, xyz2, ratiosL, ratiosR)
 
 
 def _emd_bwd(res, g):
     """Analytic gradient (emd_kernel.cu matchcostgrad1/2): with the match held
-    fixed, d cost / d x1_k = sum_l 2 match[l,k] (x1_k - x2_l) / max(n,m)."""
-    xyz1, xyz2 = res
+    fixed, d cost / d x1_k = sum_l 2 match[l,k] (x1_k - x2_l) / max(n,m).
+
+    Needs only row = match @ 1, col = match^T @ 1, match @ xyz2 and
+    match^T @ xyz1; with the stored round decomposition each is a scan of
+    two thin (n x m)(m x 4) MXU contractions against [ratio, ratio * xyz]."""
+    xyz1, xyz2, ratiosL, ratiosR = res
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    match_t = approx_match(xyz1, xyz2)  # (B, m, n)
-    match = jnp.swapaxes(match_t, 1, 2)  # (B, n, m)
-    row = jnp.sum(match, axis=2)  # (B, n)
-    col = jnp.sum(match, axis=1)  # (B, m)
+    d = pairwise_sqdist(xyz1, xyz2)  # recomputed: one matmul, no residual
+    levels = jnp.asarray(_LEVELS, dtype=jnp.float32)
+
+    # right-hand sides: [1, xyz] so one contraction yields both the mass sum
+    # and the position-weighted sum
+    rhs2 = jnp.concatenate([jnp.ones((B, m, 1), jnp.float32), xyz2], axis=-1)
+    rhs1 = jnp.concatenate([jnp.ones((B, n, 1), jnp.float32), xyz1], axis=-1)
+
+    def body(acc, inputs):
+        level, ratioL, ratioR = inputs
+        w = jnp.exp(level * d)  # (B, n, m)
+        a = jnp.einsum(
+            "bnm,bmc->bnc", w, ratioR[..., None] * rhs2,
+            preferred_element_type=jnp.float32,
+        )  # (B, n, 4): [w @ ratioR, w @ (ratioR * xyz2)]
+        b = jnp.einsum(
+            "bnm,bnc->bmc", w, ratioL[..., None] * rhs1,
+            preferred_element_type=jnp.float32,
+        )  # (B, m, 4)
+        acc1, acc2 = acc
+        return (acc1 + ratioL[..., None] * a, acc2 + ratioR[..., None] * b), None
+
+    (acc1, acc2), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((B, n, 4), jnp.float32), jnp.zeros((B, m, 4), jnp.float32)),
+        (levels, ratiosL, ratiosR),
+    )
+    row, mx2 = acc1[..., 0], acc1[..., 1:]  # match @ 1, match @ xyz2
+    col, mx1 = acc2[..., 0], acc2[..., 1:]  # match^T @ 1, match^T @ xyz1
     scale = (g / max(n, m))[:, None, None]
-    g1 = 2.0 * scale * (
-        xyz1 * row[..., None]
-        - jnp.einsum("bnm,bmc->bnc", match, xyz2, preferred_element_type=jnp.float32)
-    )
-    g2 = 2.0 * scale * (
-        xyz2 * col[..., None]
-        - jnp.einsum("bnm,bnc->bmc", match, xyz1, preferred_element_type=jnp.float32)
-    )
+    g1 = 2.0 * scale * (xyz1 * row[..., None] - mx2)
+    g2 = 2.0 * scale * (xyz2 * col[..., None] - mx1)
     return g1, g2
 
 

@@ -232,6 +232,30 @@ class TestEMD:
         g = jax.grad(lambda yy: ops.earth_mover_distance(x, yy).sum())(y)
         assert np.asarray(g).mean() > 0  # increasing y increases cost
 
+    def test_gradient_matches_match_based_formula(self, rng_np):
+        """The VJP accumulates from stored per-round ratios; it must equal the
+        reference's match-based analytic gradient (emd_kernel.cu
+        matchcostgrad1/2: 2 * match[l,k] * (x1_k - x2_l) / max(n, m))
+        computed from the explicit match matrix.  n != m exercises the
+        integer mass-initialization path."""
+        x = jnp.asarray(rng_np.standard_normal((2, 24, 3)).astype(np.float32))
+        y = jnp.asarray(rng_np.standard_normal((2, 12, 3)).astype(np.float32))
+        g1, g2 = jax.grad(
+            lambda a, b: ops.earth_mover_distance(a, b).sum(), argnums=(0, 1)
+        )(x, y)
+        match = np.asarray(ops.approx_match(x, y))  # (B, m, n)
+        match = np.swapaxes(match, 1, 2)  # (B, n, m)
+        xn, yn = np.asarray(x), np.asarray(y)
+        scale = 1.0 / max(24, 12)
+        want1 = 2.0 * scale * (
+            xn * match.sum(2)[..., None] - np.einsum("bnm,bmc->bnc", match, yn)
+        )
+        want2 = 2.0 * scale * (
+            yn * match.sum(1)[..., None] - np.einsum("bnm,bnc->bmc", match, xn)
+        )
+        np.testing.assert_allclose(np.asarray(g1), want1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), want2, rtol=1e-4, atol=1e-5)
+
 
 class TestMaskedMean:
     def test_counts(self):

@@ -59,13 +59,19 @@ def main():
     # ---- 1. synthetic data + mirrored-partial preprocessing --------------
     # coarse-resolution GT (2048) and upsample-target GT (4096); the second
     # call rewrites the partials — shapes are parametric, pairing stays
-    # consistent
-    write_mvp_style_h5(data_dir, num_shapes=args.num_shapes, npoints=2048,
-                       partial_points=2048)
-    write_mvp_style_h5(data_dir, num_shapes=args.num_shapes, npoints=4096,
-                       partial_points=2048)
-    preprocess(["--data_dir", data_dir, "--num_points", "3072",
-                "--batch_size", "32"])
+    # consistent.  Idempotent: skip files that already exist (tunnel compile
+    # stalls make re-runs expensive).
+    mirrored = os.path.join(
+        data_dir, "mirror_and_concated_partial",
+        "mvp_test_input_mirror_and_concat_3072pts.h5",
+    )
+    if not os.path.exists(mirrored):
+        write_mvp_style_h5(data_dir, num_shapes=args.num_shapes, npoints=2048,
+                           partial_points=2048)
+        write_mvp_style_h5(data_dir, num_shapes=args.num_shapes, npoints=4096,
+                           partial_points=2048)
+        preprocess(["--data_dir", data_dir, "--num_points", "3072",
+                    "--batch_size", "32"])
     print(f"[{time.time()-t0:.0f}s] data + mirror preprocessing done", flush=True)
 
     # ---- 2. DDPM training ------------------------------------------------
