@@ -24,9 +24,14 @@ T = int(os.environ.get("PDR_BENCH_T", "1000"))
 # B=4 measured optimal on v5e: per-sample cost grows superlinearly past it
 # (the (B, M, K, C) neighborhood intermediates blow past VMEM); swept
 # B in {2,4,8,16,32,64} -> 0.38/0.42/0.40/0.35/0.31/0.30 completions/s/chip
+# (re-swept {4,8,16} post-optimization: 0.66/0.62/0.56 — B=4 still wins)
 BATCH = int(os.environ.get("PDR_BENCH_BATCH", "4"))
 REPEATS = int(os.environ.get("PDR_BENCH_REPEATS", "1"))
 DTYPE = os.environ.get("PDR_BENCH_DTYPE", "bfloat16")
+# "surface" (default) conditions the model on mirrored+FPS'd synthetic
+# surface partials — the realistic MVP-like density the adaptive-window
+# kernels must face; "uniform" keeps the round-1 uniform-random clouds
+DATA = os.environ.get("PDR_BENCH_DATA", "surface")
 
 
 def main():
@@ -41,15 +46,30 @@ def main():
     rng = np.random.default_rng(0)
     B = BATCH
     x = jnp.asarray(rng.uniform(-1, 1, (B, 2048, 3)).astype(np.float32))
-    cond = jnp.asarray(
-        np.concatenate(
-            [
-                rng.uniform(-0.5, 0.5, (B, 3072, 3)),
-                rng.integers(0, 2, (B, 3072, 1)) * 2.0 - 1.0,
-            ],
-            axis=-1,
-        ).astype(np.float32)
-    )
+    if DATA == "surface":
+        # MVP-like conditions: synthetic surface partials, mirrored + FPS'd
+        # to 3072 points with the +/-1 mirror-flag channel, scaled to [-1,1]
+        from point_diffusion_refinement_tpu.data.mirror import mirror_and_concat
+        from point_diffusion_refinement_tpu.data.synthetic import (
+            make_synthetic_clouds,
+        )
+
+        _, partials, _ = make_synthetic_clouds(
+            max(1, (B + 25) // 26), 2048, 2048, seed=0
+        )
+        cond = np.array(mirror_and_concat(jnp.asarray(partials[:B]), 3072))
+        cond[:, :, :3] *= 2.0  # scale=1 convention: data x 2*scale
+        cond = jnp.asarray(cond)
+    else:
+        cond = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(-0.5, 0.5, (B, 3072, 3)),
+                    rng.integers(0, 2, (B, 3072, 1)) * 2.0 - 1.0,
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
     label = jnp.zeros((B,), jnp.int32)
     ts = jnp.zeros((B,), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)

@@ -531,6 +531,10 @@ class PointNet2CloudCondition(nn.Module):
                 condition_emb=condition_emb,
                 second_condition_emb=second_condition_emb,
                 pooling=self.pooling,
+                # ft0_sup's presence marks windowed inference (it is only
+                # built by encode_condition(windowed_ft=True), never under
+                # training — the windowed kernel has no VJP)
+                windowed=ft0 is not None,
             )
             l_xyz.append(xi)
             l_features.append(fi)

@@ -55,6 +55,28 @@ class SetAbstraction(nn.Module):
     global_attention_last_activation: bool = True
     dtype: object = None
 
+    def _windowed_eligible(self, xyz, features, windowed: bool) -> bool:
+        """Inference-only windowed fused ball-query+gather for the x_t-branch
+        SA grouping (ops/pallas_window.py).  The x_t cloud is near-gaussian
+        for most reverse steps, so its projected density windows well — the
+        opposite of the surface-shaped condition cloud.  The kernel needs
+        the [features, rel, abs(, center)] layout (use_xyz +
+        include_abs_coordinate), bf16 compute, radius neighborhoods, and
+        128-aligned query counts; anything else keeps the unfused path."""
+        import os
+
+        return (
+            windowed
+            and os.environ.get("PDR_WINDOWED_SA", "1") != "0"
+            and self.neighbor_def == "radius"
+            and features is not None
+            and self.use_xyz
+            and self.include_abs_coordinate
+            and self.dtype is not None
+            and xyz.shape[1] >= 1024
+            and self.npoint % 128 == 0
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -64,23 +86,49 @@ class SetAbstraction(nn.Module):
         condition_emb=None,
         second_condition_emb=None,
         pooling: str = "max",
+        windowed: bool = False,
     ):
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)  # (B, npoint, 3)
 
-        grouped, counts = query_and_group(
-            xyz,
-            new_xyz,
-            features,
-            radius=self.radius,
-            nsample=self.nsample,
-            neighbor_def=self.neighbor_def,
-            use_xyz=self.use_xyz,
-            include_abs_coordinate=self.include_abs_coordinate,
-            include_center_coordinate=self.include_center_coordinate,
-            subset=True,
-            lossy_features=self.dtype is not None,
-        )
+        qctx = None
+        if self._windowed_eligible(xyz, features, windowed):
+            import jax
+
+            from ..ops.pallas_window import (
+                build_query_ctx,
+                build_support_ctx,
+                windowed_ball_group,
+            )
+
+            sup = build_support_ctx(xyz, [features])
+            if sup is not None:
+                qctx = build_query_ctx(new_xyz, sup.axis_onehot)
+                wg = windowed_ball_group(
+                    sup, qctx, self.radius, self.nsample,
+                    include_center=self.include_center_coordinate,
+                    empty_mode="row0",
+                    interpret=jax.default_backend() != "tpu",
+                )
+                # sorted-query order from here on: the MLP is pointwise and
+                # the GroupNorm/attention statistics are permutation-
+                # invariant over centers, so only the pooled output needs
+                # unsorting (cheap (B, M, C) gather)
+                grouped, counts = wg.grouped[0], wg.counts
+        if qctx is None:
+            grouped, counts = query_and_group(
+                xyz,
+                new_xyz,
+                features,
+                radius=self.radius,
+                nsample=self.nsample,
+                neighbor_def=self.neighbor_def,
+                use_xyz=self.use_xyz,
+                include_abs_coordinate=self.include_abs_coordinate,
+                include_center_coordinate=self.include_center_coordinate,
+                subset=True,
+                lossy_features=self.dtype is not None,
+            )
         out = ConditionedMLP(
             tuple(self.mlp),
             include_t=self.include_t,
@@ -103,6 +151,10 @@ class SetAbstraction(nn.Module):
         )
         if self.use_attention:
             query = gather_points(features, fps_idx)  # features at new_xyz
+            if qctx is not None:
+                from ..ops.pallas_window import sort_rows
+
+                query = sort_rows(query, qctx)
             new_features = AttentionPool(
                 self.mlp[-1],
                 attention_bn=self.attention_bn,
@@ -112,6 +164,10 @@ class SetAbstraction(nn.Module):
             )(query, grouped, out, counts)
         else:
             new_features = pool_features(out, counts, pooling)
+        if qctx is not None:
+            from ..ops.pallas_window import unsort_rows
+
+            new_features = unsort_rows(new_features, qctx)
 
         if self.use_global_attention:
             cat = jnp.concatenate([new_features, new_xyz], axis=-1)

@@ -74,13 +74,15 @@ def _row_tile(m: int) -> int:
 
 
 def default_window(n: int) -> int:
-    """Window width: half the (lane-padded) support cloud unless overridden
-    via PDR_WINDOW.  Conservative — the lax.cond fallback keeps any choice
-    correct, smaller is merely faster until overflows start."""
+    """Base window width: a quarter of the (lane-padded) support cloud
+    unless overridden via PDR_WINDOW.  `windowed_ball_group` escalates to
+    2W and then the exact fallback at runtime when a tile's true candidate
+    span exceeds the tier, so any choice is correct — smaller is merely
+    faster until escalations start."""
     env = os.environ.get("PDR_WINDOW")
     if env:
         return min(_round_up(int(env), 128), _round_up(n, 128))
-    return max(256, min(_round_up(n, 128), _round_up(n // 2, 128)))
+    return max(256, min(_round_up(n, 128), _round_up(n // 4, 128)))
 
 
 class SupportCtx(NamedTuple):
@@ -138,9 +140,20 @@ def build_support_ctx(
     if ct > 128:
         return None
     xyz = xyz.astype(jnp.float32)
-    # per-batch widest axis: minimizes the largest key-window candidate set
-    ext = jnp.max(xyz, axis=1) - jnp.min(xyz, axis=1)  # (B, 3)
-    axis_onehot = jax.nn.one_hot(jnp.argmax(ext, axis=-1), 3, dtype=jnp.float32)
+    # Per-batch sort axis: minimize the PEAK projected density, not maximize
+    # the extent — a surface face perpendicular to the widest axis piles a
+    # large fraction of the cloud onto one key value, and every query tile
+    # overlapping it needs that whole pile in its window.  A 32-bin
+    # histogram per axis (computed once per generation) picks the axis
+    # whose fullest bin is smallest; extent breaks ties via the bin width.
+    mins = jnp.min(xyz, axis=1)  # (B, 3)
+    maxs = jnp.max(xyz, axis=1)
+    span = jnp.maximum(maxs - mins, 1e-6)
+    unit = (xyz - mins[:, None, :]) / span[:, None, :]  # (B, N, 3) in [0,1]
+    bins = jnp.clip((unit * 32.0).astype(jnp.int32), 0, 31)  # (B, N, 3)
+    onehot_bins = jax.nn.one_hot(bins, 32, dtype=jnp.float32)  # (B, N, 3, 32)
+    peak = jnp.max(jnp.sum(onehot_bins, axis=1), axis=-1)  # (B, 3)
+    axis_onehot = jax.nn.one_hot(jnp.argmin(peak, axis=-1), 3, dtype=jnp.float32)
     keys = jnp.einsum("bnc,bc->bn", xyz, axis_onehot)
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
     keys_sorted, order = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
@@ -439,12 +452,11 @@ def windowed_ball_group(
     tiles = q.keys.reshape(B, M // MT, MT)
     lo = tiles.min(-1) - radius
     hi = tiles.max(-1) + radius
-    starts = jax.vmap(lambda k, l: jnp.searchsorted(k, l))(sup.keys, lo)
+    raw = jax.vmap(lambda k, l: jnp.searchsorted(k, l))(sup.keys, lo)
     ends = jax.vmap(lambda k, h: jnp.searchsorted(k, h, side="right"))(
         sup.keys, hi
     )
-    starts = jnp.clip((starts // 128) * 128, 0, max(Np - W, 0)).astype(jnp.int32)
-    overflow = jnp.any(ends > starts + W)
+    a128 = ((raw // 128) * 128).astype(jnp.int32)
 
     q8 = jnp.concatenate(
         [
@@ -456,20 +468,39 @@ def windowed_ball_group(
 
     row0 = sup.table_orig[:, :1, :]  # (B, 1, CT) — "row0" empty-ball substitute
 
-    def windowed(_):
-        return _windowed_call(
-            sup.planes, sup.table_sorted, q8, starts, row0,
-            float(radius), nsample, W, sup.feat_dims, include_center,
-            empty_mode, interpret,
-        )
+    def tier_call(w):
+        starts = jnp.clip(a128, 0, max(Np - w, 0))
+
+        def call(_):
+            return _windowed_call(
+                sup.planes, sup.table_sorted, q8, starts, row0,
+                float(radius), nsample, w, sup.feat_dims, include_center,
+                empty_mode, interpret,
+            )
+
+        return jnp.any(ends > starts + w), call
 
     def fallback(_):
-        out, counts = _fallback_group(
+        return _fallback_group(
             sup, q, radius, nsample, include_center, empty_mode
         )
-        return out, counts
 
-    out, counts = jax.lax.cond(overflow, fallback, windowed, operand=None)
+    # escalate W -> 2W -> exact fallback: per-step data (early-diffusion
+    # gaussians, surface-density peaks) decides at runtime; the narrow tier
+    # costs ~W MACs per gathered element so the common case stays cheap
+    over_w, call_w = tier_call(W)
+    W2 = min(2 * W, Np)
+    if W2 > W and W2 < Np:
+        over_w2, call_w2 = tier_call(W2)
+
+        def escalate(_):
+            return jax.lax.cond(over_w2, fallback, call_w2, None)
+
+        overflow = jnp.logical_and(over_w, over_w2)  # exact path taken
+    else:
+        escalate = fallback
+        overflow = over_w
+    out, counts = jax.lax.cond(over_w, escalate, call_w, operand=None)
 
     pos_cols = 9 if include_center else 6
     used = []

@@ -92,23 +92,74 @@ class TestWindowedBallGroup:
                 atol=2e-2, rtol=0,
             )
 
-    def test_fallback_on_overflow_matches(self, clouds):
+    def test_escalation_and_fallback_match(self, clouds):
+        """An undersized base window escalates W -> 2W -> exact fallback at
+        runtime; every tier must produce identical groupings."""
         xyz, q, fa, fb = clouds
         _, _, res_win = _run(xyz, q, fa, fb, window=384)
-        _, _, res_fb = _run(xyz, q, fa, fb, window=128)  # forces overflow
-        assert bool(res_fb.fell_back)
-        np.testing.assert_array_equal(
-            np.asarray(res_fb.counts), np.asarray(res_win.counts)
-        )
+        assert not bool(res_win.fell_back)
         cnt = np.asarray(res_win.counts)
         mask = (np.arange(K)[None, None, :] < cnt[:, :, None]) & (cnt[:, :, None] > 0)
-        np.testing.assert_array_equal(
-            np.asarray(res_fb.idx)[mask], np.asarray(res_win.idx)[mask]
+        fell = {}
+        for w in (64, 128):
+            _, _, res_fb = _run(xyz, q, fa, fb, window=w)
+            fell[w] = bool(res_fb.fell_back)
+            np.testing.assert_array_equal(
+                np.asarray(res_fb.counts), np.asarray(res_win.counts)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res_fb.idx)[mask], np.asarray(res_win.idx)[mask]
+            )
+            for gi in range(2):
+                a = np.asarray(res_fb.grouped[gi], np.float32)
+                b = np.asarray(res_win.grouped[gi], np.float32)
+                np.testing.assert_allclose(a, b, atol=2e-2, rtol=0)
+        # the smallest base tier (64 -> 128) cannot hold the true candidate
+        # spans of this data: the exact path must have been taken
+        assert fell[64]
+
+    def test_model_windowed_denoise_matches_unfused(self):
+        """End-to-end: denoise with windowed inference contexts (level-0 FT
+        pair + SA grouping in sorted-query order) equals the unfused path to
+        bf16 tolerance.  Sizes chosen to trigger both windowed gates
+        (support >= 1024, npoint % 128 == 0)."""
+        from point_diffusion_refinement_tpu.config import tiny_pointnet_config
+        from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
+
+        cfg = tiny_pointnet_config()
+        cfg["compute_dtype"] = "bfloat16"
+        for key in ("architecture", "condition_net_architecture"):
+            cfg[key]["npoint"] = [128, 64]
+        rng = np.random.default_rng(11)
+        Bm, N, M_cond = 2, 1024, 1024
+        x = jnp.asarray(rng.uniform(-1, 1, (Bm, N, 3)).astype(np.float32))
+        cond = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-1, 1, (Bm, M_cond, 3)),
+                 np.ones((Bm, M_cond, 1))], axis=-1
+            ).astype(np.float32)
         )
-        for gi in range(2):
-            a = np.asarray(res_fb.grouped[gi], np.float32)
-            b = np.asarray(res_win.grouped[gi], np.float32)
-            np.testing.assert_allclose(a, b, atol=2e-2, rtol=0)
+        ts = jnp.zeros((Bm,), jnp.float32)
+        label = jnp.zeros((Bm,), jnp.int32)
+        model = PointNet2CloudCondition.from_config(cfg)
+        params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
+
+        def run(windowed):
+            cf = model.apply(
+                params, cond, windowed_ft=windowed,
+                method=model.encode_condition,
+            )
+            if windowed:
+                assert cf.ft0_sup is not None, "windowed gate did not trigger"
+            return model.apply(
+                params, x, ts, label, cf, method=model.denoise
+            )
+
+        plain = np.asarray(run(False), np.float32)
+        win = np.asarray(run(True), np.float32)
+        np.testing.assert_allclose(win, plain, atol=5e-2, rtol=0)
+        # outputs must be genuinely close, not accidentally equal-of-zeros
+        assert np.abs(plain).mean() > 1e-4
 
     def test_sort_unsort_roundtrip(self, clouds):
         xyz, q, fa, fb = clouds
