@@ -65,12 +65,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _row_tile(m: int) -> int:
-    """Query row-tile: smaller tiles span less of the sort axis, so their
-    candidate windows are tighter; PDR_WINDOW_MT overrides for tuning."""
+    """Query row-tile: a tile's key span scales with MT/M, so small query
+    sets need proportionally smaller tiles (a 128-row tile of 256 queries
+    spans HALF the sorted range and forces constant window escalation).
+    Keep >= 8 tiles, capped at the 128 MXU row dim; PDR_WINDOW_MT overrides
+    for tuning."""
     env = os.environ.get("PDR_WINDOW_MT")
     if env and m % int(env) == 0:
         return int(env)
-    return 128 if m % 128 == 0 else _round_up(m, 8)
+    mt = 128
+    while mt > 8 and m // mt < 8:
+        mt //= 2
+    return mt if m % mt == 0 else _round_up(m, 8)
 
 
 def default_window(n: int) -> int:
@@ -239,12 +245,11 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
     tile's window; rank-matmul first-K selection; per-k MXU gathers."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    MT = q_ref.shape[-1]
+    MT = q_ref.shape[-2]
     start = pl.multiple_of(starts_ref[b, t], 128)
     sup = sup_ref[0, pl.ds(start, W), :]     # (W, 8) f32
     tab = tab_ref[0, pl.ds(start, W), :]     # (W, CT) bf16
-    q = q_ref[0]                              # (8, MT) f32
-    qT = jnp.transpose(q)                     # (MT, 8)
+    qT = q_ref[0]                             # (MT, 8) f32
     supT = jnp.transpose(sup)                 # (8, W)
     d = None
     for c in range(3):
@@ -314,7 +319,7 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
                    include_center: bool = False, empty_mode: str = "center_zero",
                    interpret: bool = False):
     B, Np, _ = planes.shape
-    M = q_sorted8.shape[-1]
+    M = q_sorted8.shape[-2]
     MT = _row_tile(M)
     assert M % MT == 0, (M, MT)
     CT = table_sorted.shape[-1]
@@ -333,7 +338,10 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
             in_specs=[
                 pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, MT), lambda b, t, s: (b, 0, t),
+                # queries (B, M, 8): MT rides the sublane dim (divisible by
+                # 8 down to MT=8) — an (8, MT) layout would put MT on lanes,
+                # which real-TPU lowering rejects for MT < 128
+                pl.BlockSpec((1, MT, 8), lambda b, t, s: (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Np, CT), lambda b, t, s: (b, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -459,12 +467,8 @@ def windowed_ball_group(
     a128 = ((raw // 128) * 128).astype(jnp.int32)
 
     q8 = jnp.concatenate(
-        [
-            jnp.transpose(q.xyz_sorted, (0, 2, 1)),
-            jnp.zeros((B, 5, M), jnp.float32),
-        ],
-        axis=1,
-    )
+        [q.xyz_sorted, jnp.zeros((B, M, 5), jnp.float32)], axis=-1
+    )  # (B, M, 8)
 
     row0 = sup.table_orig[:, :1, :]  # (B, 1, CT) — "row0" empty-ball substitute
 
@@ -487,20 +491,29 @@ def windowed_ball_group(
 
     # escalate W -> 2W -> exact fallback: per-step data (early-diffusion
     # gaussians, surface-density peaks) decides at runtime; the narrow tier
-    # costs ~W MACs per gathered element so the common case stays cheap
+    # costs ~W MACs per gathered element so the common case stays cheap.
+    # The widest tier is the UNFUSED exact path on purpose: running the
+    # fused kernel at W = Np was measured slower (2.6 vs 1.8 ms at the
+    # level-0 FT shapes) — the O(W^2) rank matmul and K x (MT, W, 128)
+    # gather matmuls overtake the dedicated cumsum ball-query kernel + XLA
+    # one-hot gathers once the window stops shrinking the support.
     over_w, call_w = tier_call(W)
-    W2 = min(2 * W, Np)
-    if W2 > W and W2 < Np:
-        over_w2, call_w2 = tier_call(W2)
-
-        def escalate(_):
-            return jax.lax.cond(over_w2, fallback, call_w2, None)
-
-        overflow = jnp.logical_and(over_w, over_w2)  # exact path taken
+    if W >= Np:
+        out, counts = call_w(None)
+        overflow = jnp.zeros((), bool)
     else:
-        escalate = fallback
-        overflow = over_w
-    out, counts = jax.lax.cond(over_w, escalate, call_w, operand=None)
+        W2 = min(2 * W, Np)
+        if W2 > W and W2 < Np:
+            over_w2, call_w2 = tier_call(W2)
+
+            def escalate(_):
+                return jax.lax.cond(over_w2, fallback, call_w2, None)
+
+            overflow = jnp.logical_and(over_w, over_w2)  # exact path taken
+        else:
+            escalate = fallback
+            overflow = over_w
+        out, counts = jax.lax.cond(over_w, escalate, call_w, operand=None)
 
     pos_cols = 9 if include_center else 6
     used = []

@@ -32,15 +32,28 @@ def main():
     model = PointNet2CloudCondition.from_config(cfg)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (B, 2048, 3)).astype(np.float32))
-    cond = jnp.asarray(
-        np.concatenate(
-            [
-                rng.uniform(-0.5, 0.5, (B, 3072, 3)),
-                rng.integers(0, 2, (B, 3072, 1)) * 2.0 - 1.0,
-            ],
-            axis=-1,
-        ).astype(np.float32)
-    )
+    if os.environ.get("PDR_BENCH_DATA", "surface") == "surface":
+        from point_diffusion_refinement_tpu.data.mirror import mirror_and_concat
+        from point_diffusion_refinement_tpu.data.synthetic import (
+            make_synthetic_clouds,
+        )
+
+        _, partials, _ = make_synthetic_clouds(
+            max(1, (B + 25) // 26), 2048, 2048, seed=0
+        )
+        cond = np.array(mirror_and_concat(jnp.asarray(partials[:B]), 3072))
+        cond[:, :, :3] *= 2.0
+        cond = jnp.asarray(cond)
+    else:
+        cond = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(-0.5, 0.5, (B, 3072, 3)),
+                    rng.integers(0, 2, (B, 3072, 1)) * 2.0 - 1.0,
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
     label = jnp.zeros((B,), jnp.int32)
     ts = jnp.zeros((B,), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
