@@ -37,12 +37,27 @@ This module replaces that chain with a spatially *windowed* kernel:
     QueryAndGroup(subset=False) (pointnet2_utils.py:376-410) so no
     (B, M, K, C) post-processing pass is needed at all.
 
-A fixed W cannot cover pathological distributions (e.g. a plane normal to
-every axis's window), so the wrapper computes the true per-tile candidate
-span with searchsorted and falls back to the exact unwindowed path via
-lax.cond when any tile overflows — the windowed path is an optimization,
-never a semantics change (feature values are bf16-rounded like the lossy
-gather path either way; positions reconstruct to ~16 mantissa bits).
+A fixed W cannot cover pathological tiles (a dense support cluster that
+no projection axis spreads — mirrored MVP partials put >50% of the
+support inside one 2r key slab — or a sparse query tile whose keys span
+the whole support), so each tile carries a per-tile mode decided by a
+searchsorted span check on the host side of the call:
+
+  * span <= W  -> the windowed path above (start rides in as the
+    prefetched scalar);
+  * span  > W  -> the SAME grid step scans the full support in ORIGINAL
+    index order (a second operand pair holds unsorted planes + table):
+    there first-<=K selection needs no rank matmul at all — an inclusive
+    lane cumsum of the in-radius mask IS the selection rank, so the wide
+    tile costs one (MT, Np) distance pass + cumsum + the same per-k MXU
+    gathers, ~4x a narrow tile instead of ~40x for an O(Np^2) rank.
+
+Both modes execute under `pl.when` inside one kernel launch, so per-step
+cost degrades smoothly with the number of wide tiles (measured 1-4 of 64
+at the level-0 FT shapes on real reverse trajectories) — no lax.cond
+escalation, no whole-call fallback, no repair copies.  Outputs are exact
+either way (feature values are bf16-rounded like the lossy gather path;
+positions reconstruct to ~16 mantissa bits).
 
 Measured (v5e, B=4, M=2048, N=3072, K=32, C_out=128): 0.21 ms at W=512,
 0.47 ms at W=1024 for query + all gathers fused, vs ~2.7 ms unfused.
@@ -98,8 +113,8 @@ class SupportCtx(NamedTuple):
     keys: jax.Array          # (B, N) f32 sorted sort-keys
     planes: jax.Array        # (B, Np, 8) f32: x, y, z, orig-index, pad
     table_sorted: jax.Array  # (B, Np, CT) bf16 packed, sorted rows
-    table_orig: jax.Array    # (B, N, CT) bf16 packed, original rows
-    xyz_orig: jax.Array      # (B, N, 3) f32 — fallback ball query support
+    planes_orig: jax.Array   # (B, Np, 8) f32 original rows (wide tiles)
+    table_orig: jax.Array    # (B, Np, CT) bf16 packed, original rows
     feat_dims: tuple         # static: channel widths of each feature table
     n: int                   # static: true support size
 
@@ -178,30 +193,37 @@ def build_support_ctx(
     xyz_sorted = take(xyz)
 
     Np = _round_up(N, 128)
-    planes = jnp.concatenate(
-        [
-            xyz_sorted,
-            order[:, :, None].astype(jnp.float32),
-            jnp.zeros((B, N, 4), jnp.float32),
-        ],
-        axis=-1,
-    )
-    if Np != N:
-        pad = jnp.zeros((B, Np - N, 8), jnp.float32)
-        pad = pad.at[:, :, :3].set(1e9)  # never in radius
-        pad = pad.at[:, :, 3].set(2.0e6)  # never lowest original index
-        planes = jnp.concatenate([planes, pad], axis=1)
-        table_sorted = jnp.concatenate(
-            [table_sorted, jnp.zeros((B, Np - N, table_sorted.shape[-1]),
-                                     jnp.bfloat16)], axis=1
+
+    def mk_planes(xyz_rows, idx_col):
+        p = jnp.concatenate(
+            [
+                xyz_rows,
+                idx_col[:, :, None].astype(jnp.float32),
+                jnp.zeros((B, N, 4), jnp.float32),
+            ],
+            axis=-1,
         )
+        if Np != N:
+            pad = jnp.zeros((B, Np - N, 8), jnp.float32)
+            pad = pad.at[:, :, :3].set(1e9)  # never in radius
+            pad = pad.at[:, :, 3].set(2.0e6)  # never lowest original index
+            p = jnp.concatenate([p, pad], axis=1)
+        return p
+
+    def pad_table(tb):
+        if Np == N:
+            return tb
+        return jnp.concatenate(
+            [tb, jnp.zeros((B, Np - N, tb.shape[-1]), jnp.bfloat16)], axis=1
+        )
+
     return SupportCtx(
         axis_onehot=axis_onehot,
         keys=keys_sorted,
-        planes=planes,
-        table_sorted=table_sorted,
-        table_orig=table_orig,
-        xyz_orig=xyz,
+        planes=mk_planes(xyz_sorted, order),
+        table_sorted=pad_table(table_sorted),
+        planes_orig=mk_planes(xyz, iota),
+        table_orig=pad_table(table_orig),
         feat_dims=feat_dims,
         n=N,
     )
@@ -238,40 +260,19 @@ def sort_rows(x: jax.Array, ctx: QueryCtx) -> jax.Array:
     )
 
 
-def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
-                   empty_mode, starts_ref, sup_ref, q_ref, tab_ref, row0_ref,
-                   out_ref, cnt_ref):
-    """Grid (B, M/MT).  Resident support planes/table dynamic-sliced to the
-    tile's window; rank-matmul first-K selection; per-k MXU gathers."""
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    MT = q_ref.shape[-2]
-    start = pl.multiple_of(starts_ref[b, t], 128)
-    sup = sup_ref[0, pl.ds(start, W), :]     # (W, 8) f32
-    tab = tab_ref[0, pl.ds(start, W), :]     # (W, CT) bf16
-    qT = q_ref[0]                             # (MT, 8) f32
-    supT = jnp.transpose(sup)                 # (8, W)
-    d = None
-    for c in range(3):
-        diff = qT[:, c][:, None] - supT[c, :][None, :]  # (MT, W)
-        d = diff * diff if d is None else d + diff * diff
-    mask = d < jnp.float32(radius * radius)
-    counts = jnp.minimum(jnp.sum(mask.astype(jnp.int32), axis=1), nsample)
-    cnt_ref[0, :, :] = jnp.broadcast_to(counts[:, None], (MT, 8))
-    have = (counts > 0)[:, None]              # (MT, 1)
+def _pack_slots(nsample, feat_dims, out_cols, include_center, empty_mode,
+                qT, row0_ref, mask, slot_rank, tab, counts, have):
+    """Shared per-k gather + channel packing.
 
-    orig_s = sup[:, 3][:, None]               # (W, 1)
-    orig_l = supT[3, :][None, :]              # (1, W)
-    L = jnp.where(orig_s < orig_l, 1.0, 0.0).astype(jnp.bfloat16)
-    mb = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
-    rank = jax.lax.dot_general(mb, L, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (MT, W)
-
+    mask/slot_rank: (MT, Wn) over the candidate set (window or full
+    support); slot k selects the candidate with slot_rank == k.  Returns
+    the (MT, K*out_cols) packed bf16 block."""
+    MT = qT.shape[0]
     zeros_pad = None
     base = None
     pieces = []
     for k in range(nsample):
-        sel = jnp.where(mask & (rank == k), 1.0, 0.0)
+        sel = jnp.where(mask & (slot_rank == k), 1.0, 0.0)
         if base is None:
             base = sel
         sel = jnp.where((k < counts)[:, None], sel, base)
@@ -310,11 +311,93 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
                 zeros_pad = jnp.zeros((MT, out_cols - used), jnp.bfloat16)
             sub.append(zeros_pad)
         pieces.append(jnp.concatenate(sub, axis=1))
-    out_ref[0, :, :] = jnp.concatenate(pieces, axis=1)  # (MT, K*out_cols)
+    return jnp.concatenate(pieces, axis=1)  # (MT, K*out_cols)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
+def _cumsum_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive lane-axis cumulative sum via log-shift adds (Mosaic has no
+    native scan)."""
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, s, axis=1)
+        x = x + jnp.where(lane >= s, shifted, 0)
+        s *= 2
+    return x
+
+
+def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
+                   empty_mode, starts_ref, sup_ref, q_ref, tab_ref,
+                   sup_o_ref, tab_o_ref, row0_ref, out_ref, cnt_ref):
+    """Grid (B, M/MT).  Per-tile mode from the prefetched scalar: start >= 0
+    slices a W-wide window of the sorted support (rank-matmul first-K
+    selection); start == -1 marks a wide tile, which scans the full support
+    in ORIGINAL index order where an inclusive mask-cumsum IS the selection
+    rank (no O(Np^2) rank matmul)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    MT = q_ref.shape[-2]
+    s0 = starts_ref[b, t]
+    qT = q_ref[0]                             # (MT, 8) f32
+    r2 = jnp.float32(radius * radius)
+
+    @pl.when(s0 >= 0)
+    def _narrow():
+        start = pl.multiple_of(jnp.maximum(s0, 0), 128)
+        sup = sup_ref[0, pl.ds(start, W), :]     # (W, 8) f32
+        tab = tab_ref[0, pl.ds(start, W), :]     # (W, CT) bf16
+        supT = jnp.transpose(sup)                 # (8, W)
+        d = None
+        for c in range(3):
+            diff = qT[:, c][:, None] - supT[c, :][None, :]  # (MT, W)
+            d = diff * diff if d is None else d + diff * diff
+        mask = d < r2
+        counts = jnp.minimum(
+            jnp.sum(mask.astype(jnp.int32), axis=1), nsample
+        )
+        cnt_ref[0, :, :] = jnp.broadcast_to(counts[:, None], (MT, 8))
+        have = (counts > 0)[:, None]              # (MT, 1)
+
+        # window rows are key-sorted, not index-sorted: selection rank =
+        # number of in-radius candidates with smaller ORIGINAL index, one
+        # MXU matmul against the pairwise comparison matrix
+        orig_s = sup[:, 3][:, None]               # (W, 1)
+        orig_l = supT[3, :][None, :]              # (1, W)
+        L = jnp.where(orig_s < orig_l, 1.0, 0.0).astype(jnp.bfloat16)
+        mb = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(mb, L, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        out_ref[0, :, :] = _pack_slots(
+            nsample, feat_dims, out_cols, include_center, empty_mode,
+            qT, row0_ref, mask, rank, tab, counts, have,
+        )
+
+    @pl.when(s0 < 0)
+    def _wide():
+        sup = sup_o_ref[0]                        # (Np, 8) f32, orig order
+        tab = tab_o_ref[0]                        # (Np, CT) bf16
+        supT = jnp.transpose(sup)
+        d = None
+        for c in range(3):
+            diff = qT[:, c][:, None] - supT[c, :][None, :]  # (MT, Np)
+            d = diff * diff if d is None else d + diff * diff
+        mask = d < r2                              # pad rows at 1e9 excluded
+        counts = jnp.minimum(
+            jnp.sum(mask.astype(jnp.int32), axis=1), nsample
+        )
+        cnt_ref[0, :, :] = jnp.broadcast_to(counts[:, None], (MT, 8))
+        have = (counts > 0)[:, None]
+        rank = _cumsum_lanes(mask.astype(jnp.int32)) - 1  # 0-based
+        out_ref[0, :, :] = _pack_slots(
+            nsample, feat_dims, out_cols, include_center, empty_mode,
+            qT, row0_ref, mask, rank, tab, counts, have,
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _windowed_call(planes, table_sorted, q_sorted8, starts, planes_orig,
+                   table_orig, row0,
                    radius: float, nsample: int, W: int, feat_dims: tuple,
                    include_center: bool = False, empty_mode: str = "center_zero",
                    interpret: bool = False):
@@ -330,21 +413,25 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
         include_center, empty_mode,
     )
     grid = (B, M // MT)
+    full_spec = pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, Np, CT), lambda b, t, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
     out, cnt = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
+                full_spec,
                 # queries (B, M, 8): MT rides the sublane dim (divisible by
                 # 8 down to MT=8) — an (8, MT) layout would put MT on lanes,
                 # which real-TPU lowering rejects for MT < 128
                 pl.BlockSpec((1, MT, 8), lambda b, t, s: (b, t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Np, CT), lambda b, t, s: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
+                table_spec,
+                full_spec,
+                table_spec,
                 # (1, 1, CT): every block dim equals 1 or the full array dim,
                 # which real-TPU lowering requires (a (1, CT) block of a
                 # (B, CT) array is rejected when B > 1 and CT % 128 != 0)
@@ -365,58 +452,8 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, row0,
             jax.ShapeDtypeStruct((B, M, 8), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, planes, q_sorted8, table_sorted, row0)
+    )(starts, planes, q_sorted8, table_sorted, planes_orig, table_orig, row0)
     return out.reshape(B, M, nsample, out_cols), cnt[:, :, 0]
-
-
-def _fallback_group(sup: SupportCtx, q: QueryCtx, radius, nsample,
-                    include_center: bool = False,
-                    empty_mode: str = "center_zero"):
-    """Exact unwindowed path with bit-identical outputs to the kernel:
-    full Pallas/XLA ball query on the original support order + lossy
-    (single-bf16) gathers of the same packed table."""
-    from .neighbors import ball_query
-    from .sampling import group_points
-
-    idx, counts = ball_query(sup.xyz_orig, q.xyz_sorted, radius, nsample)
-    counts = jnp.minimum(counts, nsample)
-    # (B, M, K, CT); the TPU one-hot gather accumulates in f32 — cast back
-    # (exact: gathered values are bf16 table entries) so both lax.cond
-    # branches agree on dtype
-    g = group_points(sup.table_orig, idx, lossy=True).astype(jnp.bfloat16)
-    gf = g.astype(jnp.float32)
-    absx = gf[..., 0:3] + gf[..., 3:6]
-    have = (counts > 0)[:, :, None, None]
-    center = q.xyz_sorted[:, :, None, :]
-    if empty_mode == "center_zero":
-        # subset=False: empty balls substitute the center, zero features
-        absx = jnp.where(have, absx, center)
-    # empty_mode == "row0": ball_query leaves idx=0 for empty balls, so the
-    # gather above already holds support row 0 — nothing to substitute
-    rel = absx - center
-    relb = rel.astype(jnp.bfloat16)
-    absb = absx.astype(jnp.bfloat16)
-    centerb = jnp.broadcast_to(center, absx.shape).astype(jnp.bfloat16)
-    pos_cols = 9 if include_center else 6
-    pieces = []
-    off = 8
-    for fd in sup.feat_dims:
-        if empty_mode == "center_zero":
-            pieces.append(jnp.where(have, g[..., off:off + fd], 0))
-        else:
-            pieces.append(g[..., off:off + fd])
-        pieces.append(relb)
-        pieces.append(absb)
-        if include_center:
-            pieces.append(centerb)
-        off += fd
-    pieces.append(g[..., 6:8])
-    out_cols = _round_up(sum(fd + pos_cols for fd in sup.feat_dims) + 2, 128)
-    used = sum(fd + pos_cols for fd in sup.feat_dims) + 2
-    if used < out_cols:
-        B, M = idx.shape[:2]
-        pieces.append(jnp.zeros((B, M, nsample, out_cols - used), jnp.bfloat16))
-    return jnp.concatenate(pieces, axis=-1), counts
 
 
 class WindowedGroups(NamedTuple):
@@ -425,7 +462,8 @@ class WindowedGroups(NamedTuple):
                         # sorted-query order
     counts: jax.Array   # (B, M) i32, sorted-query order
     idx: jax.Array      # (B, M, K) i32 original support indices
-    fell_back: jax.Array  # () bool — true when the window overflowed
+    fell_back: jax.Array  # () bool — true when any tile ran the wide
+                          # (full-support original-order) path
 
 
 def windowed_ball_group(
@@ -449,6 +487,10 @@ def windowed_ball_group(
     pointnet2_utils.py:376-410); "row0" gathers support row 0 like the
     reference ball query's zero-initialized idx (subset=True,
     ball_query_gpu.cu:9-47).
+
+    Tiles whose true candidate span exceeds the window run the full-support
+    wide mode inside the same kernel launch (see module docstring) — the
+    result is exact for every tile, with no whole-call escalation.
     """
     B, Np, _ = sup.planes.shape
     M = q.xyz_sorted.shape[1]
@@ -456,8 +498,9 @@ def windowed_ball_group(
     W = min(W, Np)
     MT = _row_tile(M)
     assert M % MT == 0, (M, MT)
+    Tn = M // MT
 
-    tiles = q.keys.reshape(B, M // MT, MT)
+    tiles = q.keys.reshape(B, Tn, MT)
     lo = tiles.min(-1) - radius
     hi = tiles.max(-1) + radius
     raw = jax.vmap(lambda k, l: jnp.searchsorted(k, l))(sup.keys, lo)
@@ -472,48 +515,19 @@ def windowed_ball_group(
 
     row0 = sup.table_orig[:, :1, :]  # (B, 1, CT) — "row0" empty-ball substitute
 
-    def tier_call(w):
-        starts = jnp.clip(a128, 0, max(Np - w, 0))
-
-        def call(_):
-            return _windowed_call(
-                sup.planes, sup.table_sorted, q8, starts, row0,
-                float(radius), nsample, w, sup.feat_dims, include_center,
-                empty_mode, interpret,
-            )
-
-        return jnp.any(ends > starts + w), call
-
-    def fallback(_):
-        return _fallback_group(
-            sup, q, radius, nsample, include_center, empty_mode
-        )
-
-    # escalate W -> 2W -> exact fallback: per-step data (early-diffusion
-    # gaussians, surface-density peaks) decides at runtime; the narrow tier
-    # costs ~W MACs per gathered element so the common case stays cheap.
-    # The widest tier is the UNFUSED exact path on purpose: running the
-    # fused kernel at W = Np was measured slower (2.6 vs 1.8 ms at the
-    # level-0 FT shapes) — the O(W^2) rank matmul and K x (MT, W, 128)
-    # gather matmuls overtake the dedicated cumsum ball-query kernel + XLA
-    # one-hot gathers once the window stops shrinking the support.
-    over_w, call_w = tier_call(W)
+    starts_w = jnp.clip(a128, 0, max(Np - W, 0))
     if W >= Np:
-        out, counts = call_w(None)
-        overflow = jnp.zeros((), bool)
+        wide = jnp.zeros(starts_w.shape, bool)
     else:
-        W2 = min(2 * W, Np)
-        if W2 > W and W2 < Np:
-            over_w2, call_w2 = tier_call(W2)
-
-            def escalate(_):
-                return jax.lax.cond(over_w2, fallback, call_w2, None)
-
-            overflow = jnp.logical_and(over_w, over_w2)  # exact path taken
-        else:
-            escalate = fallback
-            overflow = over_w
-        out, counts = jax.lax.cond(over_w, escalate, call_w, operand=None)
+        wide = ends > starts_w + W                      # (B, Tn)
+    scal = jnp.where(wide, jnp.int32(-1), starts_w)
+    out, counts = _windowed_call(
+        sup.planes, sup.table_sorted, q8, scal, sup.planes_orig,
+        sup.table_orig, row0,
+        float(radius), nsample, W, sup.feat_dims, include_center,
+        empty_mode, interpret,
+    )
+    overflow = jnp.any(wide)
 
     pos_cols = 9 if include_center else 6
     used = []

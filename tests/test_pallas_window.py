@@ -93,8 +93,9 @@ class TestWindowedBallGroup:
             )
 
     def test_escalation_and_fallback_match(self, clouds):
-        """An undersized base window escalates W -> 2W -> exact fallback at
-        runtime; every tier must produce identical groupings."""
+        """An undersized base window pushes tiles onto the wide in-kernel
+        mode at runtime; every window size must produce identical
+        groupings."""
         xyz, q, fa, fb = clouds
         _, _, res_win = _run(xyz, q, fa, fb, window=384)
         assert not bool(res_win.fell_back)
@@ -117,6 +118,69 @@ class TestWindowedBallGroup:
         # the smallest base tier (64 -> 128) cannot hold the true candidate
         # spans of this data: the exact path must have been taken
         assert fell[64]
+
+    def test_wide_tiles_match_exact(self):
+        """A dense support cluster overflows a few query tiles; those run
+        the wide (full-support, original-order cumsum) mode in-kernel and
+        must match the all-narrow window=Np reference exactly."""
+        rng = np.random.default_rng(21)
+        Bp, Np_, Mp, Kp, r = 2, 512, 512, 8, 0.25
+        xyz = rng.uniform(-1, 1, (Bp, Np_, 3)).astype(np.float32)
+        # pile half the support into a tight ball: every projection axis
+        # sees a dense slab there
+        xyz[:, : Np_ // 2] = 0.05 * rng.standard_normal(
+            (Bp, Np_ // 2, 3)
+        ).astype(np.float32)
+        qr = rng.uniform(-1, 1, (Bp, Mp, 3)).astype(np.float32)
+        feats = rng.normal(size=(Bp, Np_, 6)).astype(np.float32)
+        xyz, qr, feats = map(jnp.asarray, (xyz, qr, feats))
+        sup = build_support_ctx(xyz, [feats])
+        qc = build_query_ctx(qr, sup.axis_onehot)
+        res = windowed_ball_group(sup, qc, r, Kp, window=128, interpret=True)
+        # half the cloud inside one slab guarantees some tile overflowed
+        assert bool(res.fell_back)
+        ref = windowed_ball_group(
+            sup, qc, r, Kp, window=Np_, interpret=True
+        )
+        assert not bool(ref.fell_back)
+        np.testing.assert_array_equal(
+            np.asarray(res.counts), np.asarray(ref.counts)
+        )
+        cnt = np.asarray(ref.counts)
+        mask = (np.arange(Kp)[None, None, :] < cnt[:, :, None]) & (
+            cnt[:, :, None] > 0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.idx)[mask], np.asarray(ref.idx)[mask]
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.grouped[0], np.float32),
+            np.asarray(ref.grouped[0], np.float32),
+            atol=2e-2, rtol=0,
+        )
+
+    def test_all_wide_matches_exact(self):
+        """Every tile overflowing (one tight cluster) => every tile takes
+        the wide mode; results still match the window=Np reference."""
+        rng = np.random.default_rng(22)
+        Bp, Np_, Mp, Kp, r = 1, 512, 512, 8, 0.6
+        xyz = (0.1 * rng.standard_normal((Bp, Np_, 3))).astype(np.float32)
+        qr = (0.2 * rng.standard_normal((Bp, Mp, 3))).astype(np.float32)
+        feats = rng.normal(size=(Bp, Np_, 6)).astype(np.float32)
+        xyz, qr, feats = map(jnp.asarray, (xyz, qr, feats))
+        sup = build_support_ctx(xyz, [feats])
+        qc = build_query_ctx(qr, sup.axis_onehot)
+        res = windowed_ball_group(sup, qc, r, Kp, window=128, interpret=True)
+        assert bool(res.fell_back)
+        ref = windowed_ball_group(sup, qc, r, Kp, window=Np_, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(res.counts), np.asarray(ref.counts)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.grouped[0], np.float32),
+            np.asarray(ref.grouped[0], np.float32),
+            atol=2e-2, rtol=0,
+        )
 
     def test_model_windowed_denoise_matches_unfused(self):
         """End-to-end: denoise with windowed inference contexts (level-0 FT

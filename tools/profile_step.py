@@ -54,6 +54,14 @@ def main():
                 axis=-1,
             ).astype(np.float32)
         )
+    # PDR_PROFILE_XT=file.npz:key seeds x from a captured sampler state so
+    # the profiled step sees the real x_t distribution (uniform-cube seeds
+    # overstate window overflows)
+    seed_spec = os.environ.get("PDR_PROFILE_XT")
+    if seed_spec:
+        path, key = seed_spec.rsplit(":", 1)
+        xt = np.load(path)[key]
+        x = jnp.asarray(np.resize(xt, (B,) + xt.shape[1:]), jnp.float32)
     label = jnp.zeros((B,), jnp.int32)
     ts = jnp.zeros((B,), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
