@@ -45,11 +45,13 @@ class CondFeatures(NamedTuple):
     encoder_feats: tuple  # condition features after the encoder, len = n_levels + 1
     decoder_feats: tuple  # condition features after the decoder FP ladder
     global_feature: Optional[jax.Array]  # (B, G)
-    # Optional sorted-support context for the level-0 Feature-Transfer pair
-    # (windowed fused ball query+gather, ops/pallas_window.py); built only
+    # Optional sorted-support contexts for the per-level Feature-Transfer
+    # pairs (windowed fused ball query+gather, ops/pallas_window.py): one
+    # entry per encoder-FT level, None where the level is ineligible (table
+    # too wide, support too small, enc/dec geometry mismatch).  Built only
     # when encode_condition(..., windowed_ft=True).  Inference-only: the
     # windowed kernel has no VJP.
-    ft0_sup: Optional[object] = None
+    ft_sups: tuple = ()
 
 
 def _nerf_encode(x: jax.Array, multires: int) -> jax.Array:
@@ -386,14 +388,16 @@ class PointNet2CloudCondition(nn.Module):
             features = None
         return xyz, features
 
-    def _ft0_windowed_eligible(self) -> bool:
-        """The level-0 encoder FT and final decoder FT can share one windowed
-        fused ball query+gather (ops/pallas_window.py) when they agree on the
-        query geometry and use the layout the kernel emits."""
+    def _ft_windowed_eligible(self, level: int) -> bool:
+        """The level-``level`` encoder FT and the decoder FT at the same
+        level share (support cloud, query cloud, radius, K), so both can ride
+        ONE windowed fused ball query+gather (ops/pallas_window.py) when they
+        agree on the query geometry and use the layout the kernel emits."""
         if not (self.include_local_feature and self.hp.get(
                 "feature_mapper_architecture", None)):
             return False
-        enc, dec = self.encoder_feature_map[0], self.decoder_feature_map[0]
+        enc = self.encoder_feature_map[level]
+        dec = self.decoder_feature_map[level]
         return (
             enc.neighbor_def == "radius"
             and dec.neighbor_def == "radius"
@@ -446,25 +450,30 @@ class PointNet2CloudCondition(nn.Module):
             encoder_feats = tuple(l_feats)
             decoder_feats = tuple(l_feats)
 
-        ft0_sup = None
-        if (
-            windowed_ft
-            and self._ft0_windowed_eligible()
-            and encoder_feats[0] is not None
-            and decoder_feats[0] is not None
-            and l_uvw[0].shape[1] >= 1024
-        ):
+        ft_sups = ()
+        if windowed_ft and self.include_local_feature:
             from ..ops.pallas_window import build_support_ctx
 
-            ft0_sup = build_support_ctx(
-                l_uvw[0], [encoder_feats[0], decoder_feats[0]]
-            )
+            sups = []
+            for i in range(len(self.encoder_feature_map)):
+                sup = None
+                if (
+                    self._ft_windowed_eligible(i)
+                    and encoder_feats[i] is not None
+                    and decoder_feats[i] is not None
+                    and l_uvw[i].shape[1] >= 1024
+                ):
+                    sup = build_support_ctx(
+                        l_uvw[i], [encoder_feats[i], decoder_feats[i]]
+                    )
+                sups.append(sup)
+            ft_sups = tuple(sups)
         return CondFeatures(
             l_uvw=tuple(l_uvw),
             encoder_feats=encoder_feats,
             decoder_feats=decoder_feats,
             global_feature=global_feature,
-            ft0_sup=ft0_sup,
+            ft_sups=ft_sups,
         )
 
     def denoise(self, pointcloud, ts=None, label=None, cond: Optional[CondFeatures] = None):
@@ -490,36 +499,43 @@ class PointNet2CloudCondition(nn.Module):
             condition_emb = class_emb if self.include_class_condition else None
             second_condition_emb = None
 
-        # Level-0 FT pair via ONE windowed fused ball query+gather: the
-        # encoder FT and the final decoder FT share (support, queries,
-        # radius, K); only the gathered feature tables differ, and both are
-        # packed into the same kernel table by encode_condition.
-        ft0 = None
-        if (
-            cond is not None
-            and getattr(cond, "ft0_sup", None) is not None
-            and xyz.shape[1] % 128 == 0
-        ):
+        # Per-level FT pairs via ONE windowed fused ball query+gather each:
+        # at every eligible level the encoder FT and the decoder FT share
+        # (support, queries, radius, K); only the gathered feature tables
+        # differ, and both are packed into the same kernel table by
+        # encode_condition.
+        ft_sups = tuple(getattr(cond, "ft_sups", ()) or ()) if cond is not None else ()
+        fts = {}  # level -> (WindowedGroups, QueryCtx)
+        windowed_inference = any(s is not None for s in ft_sups)
+
+        def _ft_group(level, q_xyz):
+            if level >= len(ft_sups) or ft_sups[level] is None:
+                return None
+            if q_xyz.shape[1] % 128 != 0:
+                return None
             from ..ops.pallas_window import build_query_ctx, windowed_ball_group
 
-            enc_ft0 = self.encoder_feature_map[0]
-            qctx = build_query_ctx(xyz, cond.ft0_sup.axis_onehot)
+            enc = self.encoder_feature_map[level]
+            qctx = build_query_ctx(q_xyz, ft_sups[level].axis_onehot)
             wg = windowed_ball_group(
-                cond.ft0_sup, qctx, enc_ft0.radius, enc_ft0.k,
-                include_center=enc_ft0.include_center_coordinate,
+                ft_sups[level], qctx, enc.radius, enc.k,
+                include_center=enc.include_center_coordinate,
                 interpret=jax.default_backend() != "tpu",
             )
-            ft0 = (wg, qctx)
+            return (wg, qctx)
 
         l_xyz, l_features = [xyz], [features]
         for i in range(len(self.sa)):
             if self.include_local_feature:
+                ft_i = _ft_group(i, l_xyz[i])
+                if ft_i is not None:
+                    fts[i] = ft_i
                 mapped = self.encoder_feature_map[i](
                     cond.l_uvw[i], cond.encoder_feats[i], l_xyz[i],
                     query_feats=l_features[i], subset=False, pooling=self.pooling,
                     pregrouped=(
-                        (ft0[0].grouped[0], ft0[0].counts, ft0[1])
-                        if i == 0 and ft0 is not None
+                        (fts[i][0].grouped[0], fts[i][0].counts, fts[i][1])
+                        if i in fts
                         else None
                     ),
                 )
@@ -531,10 +547,10 @@ class PointNet2CloudCondition(nn.Module):
                 condition_emb=condition_emb,
                 second_condition_emb=second_condition_emb,
                 pooling=self.pooling,
-                # ft0_sup's presence marks windowed inference (it is only
+                # ft_sups' presence marks windowed inference (they are only
                 # built by encode_condition(windowed_ft=True), never under
                 # training — the windowed kernel has no VJP)
-                windowed=ft0 is not None,
+                windowed=windowed_inference,
             )
             l_xyz.append(xi)
             l_features.append(fi)
@@ -542,17 +558,27 @@ class PointNet2CloudCondition(nn.Module):
         n = len(self.fp)
         for i in range(-1, -(n + 1), -1):
             if self.include_local_feature:
+                lvl = len(l_xyz) + i  # positive level of l_xyz[i]
                 mapped = self.decoder_feature_map[i](
                     cond.l_uvw[i], cond.decoder_feats[i], l_xyz[i],
                     query_feats=l_features[i], subset=False, pooling=self.pooling,
+                    pregrouped=(
+                        (fts[lvl][0].grouped[1], fts[lvl][0].counts, fts[lvl][1])
+                        if lvl in fts
+                        else None
+                    ),
                 )
                 input_feature = jnp.concatenate([mapped, l_features[i]], axis=-1)
             else:
                 input_feature = l_features[i]
+            fp_kwargs = {}
+            if isinstance(self.fp[i], KnnFeaturePropagation):
+                fp_kwargs["windowed"] = windowed_inference
             l_features[i - 1] = self.fp[i](
                 l_xyz[i - 1], l_xyz[i], l_features[i - 1], input_feature,
                 t_emb=t_emb, condition_emb=condition_emb,
                 second_condition_emb=second_condition_emb, pooling=self.pooling,
+                **fp_kwargs,
             )
 
         if self.include_local_feature:
@@ -560,8 +586,8 @@ class PointNet2CloudCondition(nn.Module):
                 cond.l_uvw[0], cond.decoder_feats[0], l_xyz[0],
                 query_feats=l_features[0], subset=False, pooling=self.pooling,
                 pregrouped=(
-                    (ft0[0].grouped[1], ft0[0].counts, ft0[1])
-                    if ft0 is not None
+                    (fts[0][0].grouped[1], fts[0][0].counts, fts[0][1])
+                    if 0 in fts
                     else None
                 ),
             )

@@ -310,6 +310,30 @@ class KnnFeaturePropagation(nn.Module):
     global_attention_last_activation: bool = True
     dtype: object = None
 
+    def _windowed_eligible(self, unknown, known, known_feats,
+                           windowed: bool) -> bool:
+        """Inference-only fused windowed kNN+gather (ops/pallas_window.py).
+        Support = the coarser x_t level — it changes per step, so unlike the
+        FT supports the sort + packed-table build are per-call.  Measured on
+        v5e (B=4, FP-0 2048x1024 K=8): the fused kernel itself only breaks
+        even with the exact kNN + one-hot gather pair (0.35 ms) at W=512,
+        and the per-step support build pushes it net negative — so this
+        path is OFF by default and kept as opt-in (PDR_WINDOWED_KNNFP=1)
+        infrastructure for shapes where the support is larger or reused."""
+        import os
+
+        return (
+            windowed
+            and bool(os.environ.get("PDR_WINDOWED_KNNFP"))
+            and known is not None
+            and known_feats is not None
+            and self.dtype is not None
+            and not self.include_grouper
+            and known.shape[1] >= 1024
+            and unknown.shape[1] % 128 == 0
+            and self.k <= known.shape[1]
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -321,18 +345,43 @@ class KnnFeaturePropagation(nn.Module):
         condition_emb=None,
         second_condition_emb=None,
         pooling: str = "max",
+        windowed: bool = False,
     ):
         if self.use_attention or self.use_global_attention:
             assert known is not None and unknown is not None
             if self.use_global_attention:
                 assert not self.include_grouper
 
-        if known is not None:
-            k = min(self.k, known.shape[1])
-            grouped = group_knn_features(
-                unknown, known, known_feats, k,
-                lossy_features=self.dtype is not None,
+        qctx = None
+        unknown_orig = unknown
+        if self._windowed_eligible(unknown, known, known_feats, windowed):
+            import jax
+
+            from ..ops.pallas_window import (
+                build_query_ctx,
+                build_support_ctx,
+                sort_rows,
+                windowed_knn_group,
             )
+
+            sup = build_support_ctx(known, [known_feats], max_ct=256)
+            if sup is not None:
+                qctx = build_query_ctx(unknown, sup.axis_onehot)
+                grouped = windowed_knn_group(
+                    sup, qctx, self.k,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                # sorted-query order from here to the post-mlp2 unsort
+                unknown = qctx.xyz_sorted
+                if unknown_feats is not None:
+                    unknown_feats = sort_rows(unknown_feats, qctx)
+        if known is not None:
+            if qctx is None:
+                k = min(self.k, known.shape[1])
+                grouped = group_knn_features(
+                    unknown, known, known_feats, k,
+                    lossy_features=self.dtype is not None,
+                )
             out1 = ConditionedMLP(
                 tuple(self.mlp1),
                 include_t=False,
@@ -404,8 +453,12 @@ class KnnFeaturePropagation(nn.Module):
         if self.include_grouper:
             return pool_features(h, counts, pooling)
         h = h[:, :, 0, :]
+        if qctx is not None:
+            from ..ops.pallas_window import unsort_rows
+
+            h = unsort_rows(h, qctx)
         if self.use_global_attention:
-            cat = jnp.concatenate([h, unknown], axis=-1)
+            cat = jnp.concatenate([h, unknown_orig], axis=-1)
             h = GlobalSelfAttention(
                 self.mlp2[-1],
                 attention_bn=self.global_attention_bn,

@@ -144,21 +144,43 @@ def _hi_lo(x: jax.Array):
     return hi, lo
 
 
+def _perm_rows_mxu(x: jax.Array, perm: jax.Array) -> jax.Array:
+    """Permute rows of a bf16 (B, N, C) table as a one-hot MXU contraction.
+
+    take_along_axis lowers to a ~10 GB/s scalar kLoop fusion on TPU; the
+    one-hot matmul runs on the MXU (~20x) and is EXACT for bf16 payloads
+    (one-hot factor exact, f32 accumulation of single bf16 products).  XLA
+    fuses the iota==perm comparison into the contraction operand, so the
+    (B, N, N) one-hot never materializes.  out[b, m] = x[b, perm[b, m]].
+    Off-TPU (CPU tests) the einsum would be emulated bf16 — fall back to
+    the gather there.
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.take_along_axis(x, perm[:, :, None], axis=1)
+    oh = jax.nn.one_hot(perm, x.shape[1], dtype=jnp.bfloat16)
+    return jnp.einsum(
+        "bmn,bnc->bmc", oh, x, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
 def build_support_ctx(
-    xyz: jax.Array, features: Sequence[jax.Array]
+    xyz: jax.Array, features: Sequence[jax.Array], max_ct: int = 128
 ) -> Optional[SupportCtx]:
     """Sort the support cloud and pack positions + feature tables.
 
     Args:
       xyz: (B, N, 3) f32 support positions.
       features: list of (B, N, Ci) feature tables to be gathered together.
+      max_ct: packed-table lane budget; every extra lane multiplies the
+        per-slot MXU gather cost, so callers with narrow tables keep the
+        128 default.
 
-    Returns None when the packed table would not fit the 128-lane budget.
+    Returns None when the packed table would not fit the lane budget.
     """
     B, N, _ = xyz.shape
     feat_dims = tuple(int(f.shape[-1]) for f in features)
     ct = 8 + sum(feat_dims)
-    if ct > 128:
+    if ct > max_ct:
         return None
     xyz = xyz.astype(jnp.float32)
     # Per-batch sort axis: minimize the PEAK projected density, not maximize
@@ -177,7 +199,13 @@ def build_support_ctx(
     axis_onehot = jax.nn.one_hot(jnp.argmin(peak, axis=-1), 3, dtype=jnp.float32)
     keys = jnp.einsum("bnc,bc->bn", xyz, axis_onehot)
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    keys_sorted, order = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
+    # xyz rides the sort as payload operands (exact f32, no gather); the
+    # bf16 table is permuted by one MXU matmul (exact for bf16 payloads)
+    keys_sorted, order, sx, sy, sz = jax.lax.sort(
+        (keys, iota, xyz[..., 0], xyz[..., 1], xyz[..., 2]),
+        dimension=1, num_keys=1,
+    )
+    xyz_sorted = jnp.stack([sx, sy, sz], axis=-1)
 
     hi, lo = _hi_lo(xyz)
     ohi = jnp.floor_divide(iota, 128).astype(jnp.bfloat16)
@@ -185,21 +213,20 @@ def build_support_ctx(
     cols = [hi, lo, ohi[..., None], olo[..., None]]
     cols += [f.astype(jnp.bfloat16) for f in features]
     table_orig = jnp.concatenate(cols, axis=-1)  # (B, N, CT)
-
-    take = lambda a: jnp.take_along_axis(
-        a, order[:, :, None].astype(jnp.int32), axis=1
-    )
-    table_sorted = take(table_orig)
-    xyz_sorted = take(xyz)
+    table_sorted = _perm_rows_mxu(table_orig, order)
 
     Np = _round_up(N, 128)
 
-    def mk_planes(xyz_rows, idx_col):
+    def mk_planes(xyz_rows, idx_col, key_col):
+        # col 4 carries the sort key: the kNN kernel checks its k-th
+        # neighbor distance against the window-edge keys (the ball-query
+        # kernel ignores it)
         p = jnp.concatenate(
             [
                 xyz_rows,
                 idx_col[:, :, None].astype(jnp.float32),
-                jnp.zeros((B, N, 4), jnp.float32),
+                key_col[:, :, None].astype(jnp.float32),
+                jnp.zeros((B, N, 3), jnp.float32),
             ],
             axis=-1,
         )
@@ -207,6 +234,7 @@ def build_support_ctx(
             pad = jnp.zeros((B, Np - N, 8), jnp.float32)
             pad = pad.at[:, :, :3].set(1e9)  # never in radius
             pad = pad.at[:, :, 3].set(2.0e6)  # never lowest original index
+            pad = pad.at[:, :, 4].set(1e9)   # keys beyond every real key
             p = jnp.concatenate([p, pad], axis=1)
         return p
 
@@ -220,9 +248,9 @@ def build_support_ctx(
     return SupportCtx(
         axis_onehot=axis_onehot,
         keys=keys_sorted,
-        planes=mk_planes(xyz_sorted, order),
+        planes=mk_planes(xyz_sorted, order, keys_sorted),
         table_sorted=pad_table(table_sorted),
-        planes_orig=mk_planes(xyz, iota),
+        planes_orig=mk_planes(xyz, iota, keys),
         table_orig=pad_table(table_orig),
         feat_dims=feat_dims,
         n=N,
@@ -235,10 +263,14 @@ def build_query_ctx(new_xyz: jax.Array, axis_onehot: jax.Array) -> QueryCtx:
     new_xyz = new_xyz.astype(jnp.float32)
     keys = jnp.einsum("bmc,bc->bm", new_xyz, axis_onehot)
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
-    keys_sorted, order = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
+    # xyz rides the sort as payload operands (exact f32, no kLoop gather)
+    keys_sorted, order, sx, sy, sz = jax.lax.sort(
+        (keys, iota, new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]),
+        dimension=1, num_keys=1,
+    )
+    xyz_sorted = jnp.stack([sx, sy, sz], axis=-1)
     # inverse permutation via scatter-free sort of (order, iota)
     _, inv = jax.lax.sort((order, iota), dimension=1, num_keys=1)
-    xyz_sorted = jnp.take_along_axis(new_xyz, order[:, :, None], axis=1)
     return QueryCtx(order=order, inv_order=inv, xyz_sorted=xyz_sorted,
                     keys=keys_sorted)
 
@@ -247,6 +279,8 @@ def unsort_rows(x: jax.Array, ctx: QueryCtx) -> jax.Array:
     """Undo the query sort on a per-center tensor (B, M, ...)."""
     # out[order[i]] = x[i]  <=>  out = x[inv_order]
     idx = ctx.inv_order
+    if x.ndim == 3 and x.dtype == jnp.bfloat16:
+        return _perm_rows_mxu(x, idx)
     return jnp.take_along_axis(
         x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
     )
@@ -255,6 +289,8 @@ def unsort_rows(x: jax.Array, ctx: QueryCtx) -> jax.Array:
 def sort_rows(x: jax.Array, ctx: QueryCtx) -> jax.Array:
     """Bring a per-center tensor (B, M, ...) into sorted-query order."""
     idx = ctx.order
+    if x.ndim == 3 and x.dtype == jnp.bfloat16:
+        return _perm_rows_mxu(x, idx)
     return jnp.take_along_axis(
         x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
     )
@@ -541,3 +577,220 @@ def windowed_ball_group(
     return WindowedGroups(
         grouped=tuple(used), counts=counts, idx=idx, fell_back=overflow
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed fused kNN + gather (the KnnFP hot pair)
+# ---------------------------------------------------------------------------
+#
+# group_knn_features (models/grouping.py:188, reference group_knn
+# pointnet2_utils.py:487-514) runs an exact kNN kernel and then a one-hot
+# MXU gather whose contraction spans the FULL support cloud.  At the FP-0
+# shapes (2048 queries x 1024 support, K=8, C~155) the pair costs ~0.35 ms
+# per step on v5e.  This kernel fuses both over the sorted support: the
+# iterative-min selection scans only a W-wide window, and each selection's
+# one-hot row feeds the per-k MXU gather directly, so the contraction is W
+# wide instead of Np.
+#
+# kNN has no a-priori radius, so window sufficiency cannot be decided
+# host-side.  Each tile first runs the narrow selection, then checks the
+# k-th neighbor distance against the window-edge keys (|key_q - key_s| is
+# a lower bound on the Euclidean distance, so d_k < min-edge-key-gap^2
+# proves no outside point belongs to the k nearest); tiles that fail the
+# check rerun selection over the full support in ORIGINAL index order
+# under pl.when, exactly like the ball-query wide mode.  Results are exact
+# (up to distance ties and the bf16 rounding of the emitted channels).
+
+
+def _knn_select(k, d, tie_col, tie_cap):
+    """Iterative-min k-NN over the lane axis with lowest-`tie_col` ties.
+
+    Returns ([k] of (MT,) f32 sq-dists ascending, [k] of (MT, W) bool
+    one-hot selections)."""
+    big = jnp.float32(3.4e38)
+    remaining = jnp.ones(d.shape, jnp.bool_)
+    vals, sels = [], []
+    for _ in range(k):
+        cand = jnp.where(remaining, d, big)
+        val = jnp.min(cand, axis=1)
+        hit = cand == val[:, None]
+        o = jnp.min(jnp.where(hit, tie_col, tie_cap), axis=1)
+        sel = hit & (tie_col == o[:, None])
+        vals.append(val)
+        sels.append(sel)
+        remaining = remaining & ~sel
+    return vals, sels
+
+
+def _knn_pack(k, feat_dims, out_cols, qT, vals, sels, tab):
+    """Per-k gather + channel packing in group_knn_features order:
+    [feats, sq_dist, inv-dist weight, abs_xyz, rel_xyz, center_xyz]."""
+    MT = qT.shape[0]
+    recips = [1.0 / (v + 1e-8) for v in vals]
+    wsum = recips[0]
+    for r in recips[1:]:
+        wsum = wsum + r
+    centerb = qT[:, :3].astype(jnp.bfloat16)
+    zeros_pad = None
+    pieces = []
+    for j in range(k):
+        s = jnp.where(sels[j], 1.0, 0.0).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(s, tab, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (MT, CT)
+        absx = g[:, 0:3] + g[:, 3:6]
+        rel = absx - qT[:, :3]
+        cols = []
+        off = 8
+        for fd in feat_dims:
+            cols.append(g[:, off:off + fd].astype(jnp.bfloat16))
+            off += fd
+        cols.append(vals[j][:, None].astype(jnp.bfloat16))
+        cols.append((recips[j] / wsum)[:, None].astype(jnp.bfloat16))
+        cols.append(absx.astype(jnp.bfloat16))
+        cols.append(rel.astype(jnp.bfloat16))
+        cols.append(centerb)
+        used = sum(feat_dims) + 11
+        if used < out_cols:
+            if zeros_pad is None:
+                zeros_pad = jnp.zeros((MT, out_cols - used), jnp.bfloat16)
+            cols.append(zeros_pad)
+        pieces.append(jnp.concatenate(cols, axis=1))
+    return jnp.concatenate(pieces, axis=1)  # (MT, k*out_cols)
+
+
+def _knn_window_kernel(k, W, feat_dims, out_cols, n_valid, starts_ref,
+                       sup_ref, q_ref, tab_ref, sup_o_ref, tab_o_ref,
+                       out_ref):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    qT = q_ref[0]                              # (MT, 8): x, y, z, key, 0...
+    start = pl.multiple_of(starts_ref[b, t], 128)
+    sup = sup_ref[0, pl.ds(start, W), :]       # (W, 8) sorted rows
+    tab = tab_ref[0, pl.ds(start, W), :]       # (W, CT) bf16
+    supT = jnp.transpose(sup)
+    d = None
+    for c in range(3):
+        diff = qT[:, c][:, None] - supT[c, :][None, :]  # (MT, W)
+        d = diff * diff if d is None else d + diff * diff
+    vals, sels = _knn_select(k, d, supT[3, :][None, :], jnp.float32(2.0e6))
+
+    # window sufficiency: the k-th neighbor must beat the key-gap to both
+    # window edges (edges at the array bounds are vacuously sufficient)
+    dk = vals[-1]                              # (MT,)
+    qk = qT[:, 3]
+    lgap = qk - sup[0, 4]
+    rgap = sup[W - 1, 4] - qk
+    ok_l = (start == 0) | (dk < lgap * lgap)
+    ok_r = (start + W >= n_valid) | (dk < rgap * rgap)
+    valid = jnp.all(ok_l & ok_r)
+
+    @pl.when(valid)
+    def _narrow():
+        out_ref[0, :, :] = _knn_pack(k, feat_dims, out_cols, qT, vals, sels,
+                                     tab)
+
+    @pl.when(jnp.logical_not(valid))
+    def _wide():
+        sup_o = sup_o_ref[0]                   # (Np, 8) original order
+        tab_o = tab_o_ref[0]
+        supT_o = jnp.transpose(sup_o)
+        dw = None
+        for c in range(3):
+            diff = qT[:, c][:, None] - supT_o[c, :][None, :]
+            dw = diff * diff if dw is None else dw + diff * diff
+        # Mosaic only lowers integer iota; cast for the f32 tie-break column
+        lane = jax.lax.broadcasted_iota(jnp.int32, dw.shape, 1).astype(
+            jnp.float32
+        )
+        Np = dw.shape[1]
+        vw, sw = _knn_select(k, dw, lane, jnp.float32(Np))
+        out_ref[0, :, :] = _knn_pack(k, feat_dims, out_cols, qT, vw, sw,
+                                     tab_o)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _knn_windowed_call(planes, table_sorted, q_sorted8, starts, planes_orig,
+                       table_orig, k: int, W: int, feat_dims: tuple,
+                       interpret: bool = False):
+    B, Np, _ = planes.shape
+    M = q_sorted8.shape[-2]
+    MT = _row_tile(M)
+    assert M % MT == 0, (M, MT)
+    CT = table_sorted.shape[-1]
+    out_cols = _round_up(sum(feat_dims) + 11, 128)
+    kernel = functools.partial(
+        _knn_window_kernel, k, W, feat_dims, out_cols, Np,
+    )
+    grid = (B, M // MT)
+    full_spec = pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, Np, CT), lambda b, t, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                full_spec,
+                pl.BlockSpec((1, MT, 8), lambda b, t, s: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                table_spec,
+                full_spec,
+                table_spec,
+            ],
+            out_specs=pl.BlockSpec((1, MT, k * out_cols),
+                                   lambda b, t, s: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        out_shape=jax.ShapeDtypeStruct((B, M, k * out_cols), jnp.bfloat16),
+        interpret=interpret,
+    )(starts, planes, q_sorted8, table_sorted, planes_orig, table_orig)
+    return out.reshape(B, M, k, out_cols)
+
+
+def windowed_knn_group(
+    sup: SupportCtx,
+    q: QueryCtx,
+    k: int,
+    window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused windowed kNN + gather in group_knn_features channel order.
+
+    Returns (B, M, k, C + 11) bf16 in *sorted-query* order: [neighbor
+    feats, squared dist, inverse-distance weight, abs pos, rel pos, query
+    pos].  Exact up to distance ties and bf16 rounding of the emitted
+    channels (matching the lossy_features gather path).
+    """
+    B, Np, _ = sup.planes.shape
+    M = q.xyz_sorted.shape[1]
+    if window is None:
+        env = os.environ.get("PDR_KNN_W")
+        window = int(env) if env else None
+    W = window if window is not None else default_window(sup.n)
+    W = min(W, Np)
+    assert W >= k + 128, (W, k)  # window must outsize the pad tail + k
+    MT = _row_tile(M)
+    assert M % MT == 0, (M, MT)
+    Tn = M // MT
+
+    # center each tile's window on its median key position
+    tiles = q.keys.reshape(B, Tn, MT)
+    mid = 0.5 * (tiles.min(-1) + tiles.max(-1))
+    pos = jax.vmap(lambda kk, m: jnp.searchsorted(kk, m))(sup.keys, mid)
+    starts = jnp.clip(
+        ((pos.astype(jnp.int32) - W // 2) // 128) * 128, 0, max(Np - W, 0)
+    )
+
+    q8 = jnp.concatenate(
+        [q.xyz_sorted, q.keys[:, :, None],
+         jnp.zeros((B, M, 4), jnp.float32)], axis=-1
+    )  # (B, M, 8)
+
+    out = _knn_windowed_call(
+        sup.planes, sup.table_sorted, q8, starts, sup.planes_orig,
+        sup.table_orig, k, W, sup.feat_dims, interpret,
+    )
+    return out[..., : sum(sup.feat_dims) + 11]

@@ -214,7 +214,9 @@ class TestWindowedBallGroup:
                 method=model.encode_condition,
             )
             if windowed:
-                assert cf.ft0_sup is not None, "windowed gate did not trigger"
+                assert any(
+                    s is not None for s in cf.ft_sups
+                ), "windowed gate did not trigger"
             return model.apply(
                 params, x, ts, label, cf, method=model.denoise
             )
@@ -272,11 +274,14 @@ class TestModelWindowedFT:
         params = jax.jit(model.init)(jax.random.key(0), x, cond, ts, label)
 
         cf_plain = model.apply(params, cond, method=model.encode_condition)
-        assert cf_plain.ft0_sup is None
+        assert not any(s is not None for s in cf_plain.ft_sups)
         cf_win = model.apply(
             params, cond, windowed_ft=True, method=model.encode_condition
         )
-        assert cf_win.ft0_sup is not None
+        # default config: FT levels 0 (3072 sup) and 1 (1024 sup) both fit
+        # the 128-lane table budget (8 + 32 + 32)
+        assert cf_win.ft_sups[0] is not None
+        assert cf_win.ft_sups[1] is not None
 
         out_plain = model.apply(
             params, x, ts, label, cf_plain, method=model.denoise
@@ -290,3 +295,79 @@ class TestModelWindowedFT:
         # grows to a few 1e-2 max / ~1e-3 mean at the eps head
         np.testing.assert_allclose(a, b, atol=8e-2, rtol=0)
         assert np.mean(np.abs(a - b)) < 4e-3
+
+
+class TestWindowedKnnGroup:
+    def _reference(self, sup_xyz, q_sorted, feats, k):
+        from point_diffusion_refinement_tpu.models.grouping import (
+            group_knn_features,
+        )
+
+        return group_knn_features(q_sorted, sup_xyz, feats, k,
+                                  lossy_features=True)
+
+    @pytest.mark.parametrize("window", [256, 384])
+    def test_matches_group_knn_features(self, clouds, window):
+        from point_diffusion_refinement_tpu.ops.pallas_window import (
+            windowed_knn_group,
+        )
+
+        xyz, q, fa, fb = clouds
+        feats = jnp.concatenate([fa, fb], axis=-1)  # (B, N, 36)
+        sup = build_support_ctx(xyz, [feats])
+        qc = build_query_ctx(q, sup.axis_onehot)
+        got = windowed_knn_group(sup, qc, K, window=window, interpret=True)
+        ref = self._reference(xyz, qc.xyz_sorted, feats, K)
+        assert got.shape == ref.shape
+        g = np.asarray(got, np.float32)
+        r = np.asarray(ref, np.float32)
+        C = feats.shape[-1]
+        # features/abs/rel/center: bf16-rounded in both paths
+        np.testing.assert_allclose(g[..., :C], r[..., :C], atol=2e-2, rtol=0)
+        np.testing.assert_allclose(g[..., C + 2:], r[..., C + 2:],
+                                   atol=2e-2, rtol=0)
+        # squared distances and weights: kernel computes f32, emits bf16
+        np.testing.assert_allclose(g[..., C], r[..., C], rtol=1e-2, atol=1e-4)
+        np.testing.assert_allclose(g[..., C + 1], r[..., C + 1],
+                                   rtol=1e-2, atol=1e-3)
+
+    def test_wide_fallback_cluster(self):
+        """A dense off-axis cluster forces some tiles past the window edge
+        check; the in-kernel wide mode must keep results exact."""
+        from point_diffusion_refinement_tpu.ops.pallas_window import (
+            windowed_knn_group,
+        )
+
+        rng = np.random.default_rng(23)
+        n, m = 512, 256
+        xyz = rng.uniform(-1, 1, (1, n, 3)).astype(np.float32)
+        xyz[0, : n // 2, 0] = rng.normal(0, 1e-3, n // 2)  # key-axis pileup
+        q = rng.uniform(-1, 1, (1, m, 3)).astype(np.float32)
+        feats = rng.normal(size=(1, n, 8)).astype(np.float32)
+        xyz, q, feats = map(jnp.asarray, (xyz, q, feats))
+        sup = build_support_ctx(xyz, [feats])
+        qc = build_query_ctx(q, sup.axis_onehot)
+        got = windowed_knn_group(sup, qc, 4, window=256, interpret=True)
+        ref = self._reference(xyz, qc.xyz_sorted, feats, 4)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[..., 8],
+            np.asarray(ref, np.float32)[..., 8], rtol=1e-2, atol=1e-4,
+        )
+
+    def test_wide_table_budget(self, clouds):
+        xyz, q, fa, fb = clouds
+        wide_feats = jnp.tile(fb, (1, 1, 5))  # (B, N, 160) -> CT 168
+        assert build_support_ctx(xyz, [wide_feats]) is None
+        sup = build_support_ctx(xyz, [wide_feats], max_ct=256)
+        assert sup is not None
+        from point_diffusion_refinement_tpu.ops.pallas_window import (
+            windowed_knn_group,
+        )
+
+        qc = build_query_ctx(q, sup.axis_onehot)
+        got = windowed_knn_group(sup, qc, K, window=256, interpret=True)
+        ref = self._reference(xyz, qc.xyz_sorted, wide_feats, K)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[..., :160],
+            np.asarray(ref, np.float32)[..., :160], atol=2e-2, rtol=0,
+        )
