@@ -52,6 +52,7 @@ class _SplitConcatGroupNorm(nn.Module):
 
     num_groups: int
     k_slots: int  # K, static
+    dtype: object = None  # output dtype; None keeps the f32 promotion
 
     @nn.compact
     def __call__(self, q, k):
@@ -94,7 +95,8 @@ class _SplitConcatGroupNorm(nn.Module):
         kn = xk[..., :nk] * mul[:, None, None, nq:] + add[:, None, None, nq:]
         if nk < c2:
             kn = jnp.concatenate([kn, xk[..., nk:]], axis=-1)
-        return qn, kn
+        out_dtype = self.dtype or jnp.float32
+        return qn.astype(out_dtype), kn.astype(out_dtype)
 
 
 class _SplitDense(nn.Module):
@@ -171,12 +173,15 @@ class AttentionPool(nn.Module):
         hk = jnp.maximum(k, 0.0)
         if self.attention_bn:
             hq, hk = _SplitConcatGroupNorm(
-                min(32, c1 + c2), K, name="PartialGroupNorm_0"
+                min(32, c1 + c2), K, dtype=self.dtype,
+                name="PartialGroupNorm_0",
             )(hq, hk)
         qp, kp = _SplitDense(inter_c, self.dtype, name="Dense_2")(hq, hk)
         h = jnp.maximum(qp[:, :, None, :] + kp, 0.0)  # (B, M, K, inter_c)
         if self.attention_bn:
-            h = PartialGroupNorm(min(32, inter_c), name="PartialGroupNorm_1")(h)
+            h = PartialGroupNorm(
+                min(32, inter_c), dtype=self.dtype, name="PartialGroupNorm_1"
+            )(h)
         scores = nn.Dense(c_out, dtype=self.dtype, name="Dense_3")(h)
 
         if not (isinstance(counts, str) and counts == "all"):
@@ -190,7 +195,10 @@ class AttentionPool(nn.Module):
             v = nn.Dense(c_out, dtype=self.dtype, name="Dense_4")(v)
             if self.last_activation:
                 if self.attention_bn:
-                    v = PartialGroupNorm(min(32, c_out), name="PartialGroupNorm_2")(v)
+                    v = PartialGroupNorm(
+                        min(32, c_out), dtype=self.dtype,
+                        name="PartialGroupNorm_2",
+                    )(v)
                 v = jnp.maximum(v, 0.0)
         return jnp.sum(v * weight, axis=-2)  # (B, M, C_out)
 

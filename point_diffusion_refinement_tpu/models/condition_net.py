@@ -538,6 +538,7 @@ class PointNet2CloudCondition(nn.Module):
                         if i in fts
                         else None
                     ),
+                    fused=windowed_inference,
                 )
                 input_feature = jnp.concatenate([mapped, l_features[i]], axis=-1)
             else:
@@ -567,6 +568,7 @@ class PointNet2CloudCondition(nn.Module):
                         if lvl in fts
                         else None
                     ),
+                    fused=windowed_inference,
                 )
                 input_feature = jnp.concatenate([mapped, l_features[i]], axis=-1)
             else:
@@ -590,6 +592,7 @@ class PointNet2CloudCondition(nn.Module):
                     if 0 in fts
                     else None
                 ),
+                fused=windowed_inference,
             )
             out_feature = jnp.concatenate([mapped, l_features[0]], axis=-1)
         else:

@@ -210,4 +210,10 @@ def group_knn_features(
     d = dist[..., None]  # (B, N1, K, 1)
     recip = 1.0 / (d + 1e-8)
     weight = recip / jnp.sum(recip, axis=-2, keepdims=True)
-    return jnp.concatenate([neigh_feats, d, weight, nn_abs, nn_rel, x_rep], axis=-1)
+    parts = [neigh_feats, d, weight, nn_abs, nn_rel, x_rep]
+    if lossy_features:
+        # the consumer MLP promotes to bf16 anyway (dtype=bfloat16 Dense) —
+        # emitting the concat in bf16 halves the bytes of the widest FP
+        # tensor with values identical after the Dense's own cast
+        parts = [p.astype(jnp.bfloat16) for p in parts]
+    return jnp.concatenate(parts, axis=-1)

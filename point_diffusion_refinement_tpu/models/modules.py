@@ -141,6 +141,7 @@ class SetAbstraction(nn.Module):
             res_connect=self.res_connect,
             activation=self.activation,
             dtype=self.dtype,
+            fused=windowed,  # windowed => inference (kernels have no VJP)
         )(
             grouped,
             t_emb=t_emb if self.include_t else None,
@@ -391,6 +392,8 @@ class KnnFeaturePropagation(nn.Module):
                 bias=self.bias,
                 res_connect=self.res_connect,
                 activation=self.activation,
+                dtype=self.dtype,
+                fused=windowed,  # inference marker (kernels have no VJP)
             )(
                 grouped,
                 condition_emb=(
@@ -403,6 +406,7 @@ class KnnFeaturePropagation(nn.Module):
                     attention_bn=self.attention_bn,
                     transform_grouped_feat_out=self.attention_transform_out,
                     last_activation=self.attention_last_activation,
+                    dtype=self.dtype,
                 )(unknown_feats, grouped, out1, "all")
             else:
                 interpolated = pool_features(out1, "all", pooling)
@@ -445,6 +449,7 @@ class KnnFeaturePropagation(nn.Module):
             res_connect=self.res_connect,
             activation=self.activation,
             dtype=self.dtype,
+            fused=windowed,  # inference marker (kernels have no VJP)
         )(
             h,
             t_emb=t_emb if self.include_t else None,
@@ -505,6 +510,7 @@ class FeatureTransfer(nn.Module):
         subset: bool = False,
         pooling: str = "max",
         pregrouped=None,
+        fused: bool = False,
     ):
         if pregrouped is not None:
             # (grouped, counts, query_ctx) from the windowed fused kernel
@@ -541,6 +547,7 @@ class FeatureTransfer(nn.Module):
             res_connect=self.res_connect,
             activation=self.activation,
             dtype=self.dtype,
+            fused=fused,  # inference marker (kernels have no VJP)
         )(grouped)
         if self.use_attention:
             assert query_feats is not None
