@@ -302,19 +302,31 @@ def _pack_slots(nsample, feat_dims, out_cols, include_center, empty_mode,
 
     mask/slot_rank: (MT, Wn) over the candidate set (window or full
     support); slot k selects the candidate with slot_rank == k.  Returns
-    the (MT, K*out_cols) packed bf16 block."""
+    the (MT, K*out_cols) packed bf16 block.
+
+    Per-slot work on the (MT, Wn) width is kept to TWO VPU passes (one
+    compare, one select-to-bf16): the in-radius mask is folded into the
+    rank ONCE (out-of-radius candidates get rank -1, matching no slot),
+    and the count-padding / empty-ball substitutions act on the gathered
+    (MT, CT) rows — CT is 6x narrower than a 768-wide window, and a
+    padded slot's gather equals slot 0's gather by construction (no
+    in-radius candidate has rank >= count, so its selection row is zero)."""
     MT = qT.shape[0]
+    rank_m = jnp.where(mask, slot_rank, jnp.asarray(-1, slot_rank.dtype))
     zeros_pad = None
-    base = None
+    g0 = None
     pieces = []
     for k in range(nsample):
-        sel = jnp.where(mask & (slot_rank == k), 1.0, 0.0)
-        if base is None:
-            base = sel
-        sel = jnp.where((k < counts)[:, None], sel, base)
-        s = sel.astype(jnp.bfloat16)
+        # f32 select + convert: Mosaic rejects selecting bf16 straight off
+        # an f32-compare mask (i1 (8,128) -> (16,128) relayout)
+        s = jnp.where(rank_m == k, 1.0, 0.0).astype(jnp.bfloat16)
         g = jax.lax.dot_general(s, tab, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (MT, CT)
+        if g0 is None:
+            g0 = g
+        else:
+            # slots k >= count repeat slot 0 (reference repeat-first padding)
+            g = jnp.where((k < counts)[:, None], g, g0)
         if empty_mode == "row0":
             # subset=True semantics: the reference ball query leaves idx=0 for
             # empty balls (ball_query_gpu.cu:9-47 zero-initialized output), so

@@ -292,9 +292,13 @@ class TestModelWindowedFT:
         # identical ball sets and counts; grouped tensors match to bf16
         # rounding (~1e-3, verified at the grouped level in
         # TestWindowedBallGroup) — through attention + 4 SA/FP levels that
-        # grows to a few 1e-2 max / ~1e-3 mean at the eps head
+        # grows to a few 1e-2 max / ~1e-2 mean at the eps head.  The mean
+        # bound widened 4e-3 -> 1.5e-2 with the fused-affine GroupNorm:
+        # its bf16 affine rounds three times per layer (sub/mul/add) where
+        # the f32 path rounded once, so the two paths' ~1e-3 grouped-level
+        # gap is amplified slightly more per level (observed mean 7e-3).
         np.testing.assert_allclose(a, b, atol=8e-2, rtol=0)
-        assert np.mean(np.abs(a - b)) < 4e-3
+        assert np.mean(np.abs(a - b)) < 1.5e-2
 
 
 class TestWindowedKnnGroup:
