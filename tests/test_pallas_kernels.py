@@ -64,6 +64,22 @@ class TestPallasFPS:
         b = np.asarray(furthest_point_sample_pallas(x, 64, interpret=True))
         np.testing.assert_array_equal(a, b)
 
+    def test_stacked_extract_parity(self, clouds, rng_np):
+        # opt-in stacked-extract variant (PDR_FPS_STACKED): one masked max
+        # over a (3B, N) slab instead of three over (B, N).  Measured mixed
+        # on v5e (1.10x at N=2048, 0.77x at N=3072, 0.55x at N=1024) so off
+        # by default, but must stay bit-identical.
+        from point_diffusion_refinement_tpu.ops.pallas_fps import _fps_pallas_impl
+
+        x, _ = clouds
+        a = np.asarray(furthest_point_sample_xla(x, 64))
+        b = np.asarray(_fps_pallas_impl(x, 64, True, True))
+        np.testing.assert_array_equal(a, b)
+        y = rng_np.uniform(0.5, 1.5, (2, 40, 3)).astype(np.float32)
+        y[:, 30:] = 0.0  # padding rows must never be selected
+        idx = np.asarray(_fps_pallas_impl(jnp.asarray(y), 16, True, True))
+        assert (idx[:, 1:] < 30).all()
+
     def test_padding_skip(self, rng_np):
         x = rng_np.uniform(0.5, 1.5, (1, 40, 3)).astype(np.float32)
         x[:, 30:] = 0.0
