@@ -12,6 +12,8 @@ uniform lattice, so nearest-cell = rounding).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,31 +31,54 @@ def emd_cd(sample_pcs, ref_pcs, f1_threshold: float = 1e-3) -> dict:
     return {"CD": cd, "EMD": emd, "fscore": f1}
 
 
-@jax.jit
-def _one_vs_block(sample, ref_block):
-    """sample (N,3) against refs (R,N,3) -> (cd (R,), emd (R,))."""
-    s = jnp.broadcast_to(sample[None], ref_block.shape)
-    dl, dr = chamfer_distance(s, ref_block)
+@functools.partial(jax.jit, static_argnums=(2,))
+def _block_vs_block(sample_block, ref_block, Rb: int):
+    """(Sb, N, 3) x (Rb, N, 3) -> ((Sb, Rb) cd, (Sb, Rb) emd).
+
+    All Sb*Rb pairs ride ONE flat batch through the chamfer/EMD kernels —
+    one device dispatch per (Sb x Rb) tile instead of the reference's
+    per-pair loop (_pairwise_EMD_CD_, evaluation_metrics.py:45-80)."""
+    Sb = sample_block.shape[0]
+    s = jnp.repeat(sample_block, Rb, axis=0)  # (Sb*Rb, N, 3)
+    r = jnp.tile(ref_block, (Sb, 1, 1))
+    dl, dr = chamfer_distance(s, r)
     cd = dl.mean(axis=1) + dr.mean(axis=1)
-    emd = earth_mover_distance(s, ref_block)
-    return cd, emd
+    emd = earth_mover_distance(s, r)
+    return cd.reshape(Sb, Rb), emd.reshape(Sb, Rb)
 
 
-def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 16):
+def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 16,
+                    sample_batch_size: int = 16):
     """Full (S, R) pairwise CD and EMD matrices
-    (_pairwise_EMD_CD_, evaluation_metrics.py:45-80)."""
+    (_pairwise_EMD_CD_, evaluation_metrics.py:45-80).
+
+    Tiles BOTH axes: each dispatch covers a (sample_batch_size x batch_size)
+    block of pairs, so an S x R sweep is ceil(S/Sb)*ceil(R/Rb) device calls
+    instead of S*ceil(R/Rb).  Shrink the block sizes if the
+    (Sb*Rb, N, N) distance planes press on device memory at large N."""
     S = sample_pcs.shape[0]
     R = ref_pcs.shape[0]
+    Sb = max(1, min(sample_batch_size, S))
+    Rb = max(1, min(batch_size, R))
     all_cd = np.zeros((S, R), np.float32)
     all_emd = np.zeros((S, R), np.float32)
+    sample = jnp.asarray(sample_pcs)
     ref = jnp.asarray(ref_pcs)
-    for i in range(S):
-        s = jnp.asarray(sample_pcs[i])
-        for j in range(0, R, batch_size):
-            blk = ref[j : j + batch_size]
-            cd, emd = _one_vs_block(s, blk)
-            all_cd[i, j : j + blk.shape[0]] = np.asarray(cd)
-            all_emd[i, j : j + blk.shape[0]] = np.asarray(emd)
+    # pad to full tiles: ragged tails would recompile _block_vs_block
+    def tiles(n, b):
+        return [(i, min(b, n - i)) for i in range(0, n, b)]
+
+    for i, si in tiles(S, Sb):
+        sb = sample[i : i + si]
+        if si < Sb:
+            sb = jnp.concatenate([sb, jnp.broadcast_to(sb[:1], (Sb - si,) + sb.shape[1:])])
+        for j, rj in tiles(R, Rb):
+            rb = ref[j : j + rj]
+            if rj < Rb:
+                rb = jnp.concatenate([rb, jnp.broadcast_to(rb[:1], (Rb - rj,) + rb.shape[1:])])
+            cd, emd = _block_vs_block(sb, rb, Rb)
+            all_cd[i : i + si, j : j + rj] = np.asarray(cd)[:si, :rj]
+            all_emd[i : i + si, j : j + rj] = np.asarray(emd)[:si, :rj]
     return all_cd, all_emd
 
 

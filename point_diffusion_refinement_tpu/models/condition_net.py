@@ -146,6 +146,7 @@ class PointNet2CloudCondition(nn.Module):
                     neighbor_def=neighbor_def[i],
                     activation=hp.get("activation", "relu"),
                     dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
+                    record_neighbor_stats=bool(hp.get("record_neighbor_stats", False)),
                     name=f"{name}_{i}",
                     **self._att(attention_setting),
                     **self._global_att(global_attention_setting, i),
@@ -191,6 +192,7 @@ class PointNet2CloudCondition(nn.Module):
                 neighbor_def=neighbor_def[i],
                 activation=hp.get("activation", "relu"),
                 dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
+                record_neighbor_stats=bool(hp.get("record_neighbor_stats", False)),
                 name=f"{name}_{i}",
             )
             if use_knn_FP:
@@ -248,6 +250,7 @@ class PointNet2CloudCondition(nn.Module):
                     neighbor_def=mapper_arch["neighbor_definition"],
                     activation=hp.get("activation", "relu"),
                     dtype=jnp.bfloat16 if hp.get("compute_dtype", "float32") == "bfloat16" else None,
+                    record_neighbor_stats=bool(hp.get("record_neighbor_stats", False)),
                     name=f"{name}_{i}",
                     **self._att(fm_att),
                 )

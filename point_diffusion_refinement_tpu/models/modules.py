@@ -21,6 +21,31 @@ from .common import ConditionedMLP, pool_features
 from .grouping import group_knn_features, query_and_group
 
 
+def _sow_count_hist(mod: nn.Module, counts, nsample: int) -> None:
+    """Record this forward's neighbor counts into the 'neighbor_stats'
+    collection as a (nsample+1,) histogram.
+
+    Per-forward instrumentation matching record_neighbor_stats
+    (pointnet2_utils.py:423-428): the reference snapshots min/mean/max +
+    quantiles of the latest batch on the module; here each forward sows an
+    exact count histogram, and the caller accumulates histograms across
+    forwards (utils/neighbor_stats.NeighborStatsAccumulator) so the report
+    reflects the full augmented data distribution, not one batch.  A no-op
+    unless apply() is called with mutable=['neighbor_stats'] (so the hot
+    path stays instrumentation-free) and skipped for kNN groupers, which
+    carry counts='all' like the reference (pointnet2_utils.py:433-435).
+    """
+    if counts is None or isinstance(counts, str) or mod.is_initializing():
+        return
+    import jax
+
+    c = jnp.clip(counts, 0, nsample)
+    hist = jnp.sum(
+        jax.nn.one_hot(c, nsample + 1, dtype=jnp.float32), axis=(0, 1)
+    )
+    mod.sow("neighbor_stats", "count_hist", hist)
+
+
 class SetAbstraction(nn.Module):
     """FPS -> ball-query/kNN grouping -> conditioned MLP -> attention pool or
     max/avg pool; optional global self-attention over the downsampled set.
@@ -54,6 +79,7 @@ class SetAbstraction(nn.Module):
     global_attention_bn: bool = True
     global_attention_last_activation: bool = True
     dtype: object = None
+    record_neighbor_stats: bool = False
 
     def _windowed_eligible(self, xyz, features, windowed: bool) -> bool:
         """Inference-only windowed fused ball-query+gather for the x_t-branch
@@ -129,6 +155,8 @@ class SetAbstraction(nn.Module):
                 subset=True,
                 lossy_features=self.dtype is not None,
             )
+        if self.record_neighbor_stats:
+            _sow_count_hist(self, counts, self.nsample)
         out = ConditionedMLP(
             tuple(self.mlp),
             include_t=self.include_t,
@@ -204,6 +232,7 @@ class FeaturePropagation(nn.Module):
     neighbor_def: str = "radius"
     activation: str = "relu"
     dtype: object = None
+    record_neighbor_stats: bool = False
 
     @nn.compact
     def __call__(
@@ -245,6 +274,8 @@ class FeaturePropagation(nn.Module):
                 include_center_coordinate=self.include_center_coordinate,
                 subset=True,
             )
+            if self.record_neighbor_stats:
+                _sow_count_hist(self, counts, self.nsample)
             h = grouped
         else:
             h = new_features[:, :, None, :]  # K = 1
@@ -310,6 +341,7 @@ class KnnFeaturePropagation(nn.Module):
     global_attention_bn: bool = True
     global_attention_last_activation: bool = True
     dtype: object = None
+    record_neighbor_stats: bool = False
 
     def _windowed_eligible(self, unknown, known, known_feats,
                            windowed: bool) -> bool:
@@ -434,6 +466,8 @@ class KnnFeaturePropagation(nn.Module):
                 include_center_coordinate=self.include_center_coordinate,
                 subset=True,
             )
+            if self.record_neighbor_stats:
+                _sow_count_hist(self, counts, self.nsample)
             h = grouped2
         else:
             new_features = jnp.concatenate([new_features, unknown], axis=-1)
@@ -499,6 +533,7 @@ class FeatureTransfer(nn.Module):
     attention_transform_out: bool = True
     attention_last_activation: bool = True
     dtype: object = None
+    record_neighbor_stats: bool = False
 
     @nn.compact
     def __call__(
@@ -536,6 +571,8 @@ class FeatureTransfer(nn.Module):
                 subset=subset,
                 lossy_features=self.dtype is not None,
             )
+        if self.record_neighbor_stats:
+            _sow_count_hist(self, counts, self.k)
         out = ConditionedMLP(
             tuple(self.mlp),
             include_t=False,

@@ -104,6 +104,111 @@ def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     return jnp.swapaxes(match, 1, 2)
 
 
+# Materialized (B, n, m) element budget: above this the auction runs the
+# row-chunked path that recomputes each chunk's distance plane on the fly
+# (the reference CUDA kernel streams the plane the same way,
+# emd_kernel.cu:29-247).  2^26 f32 elements = 256 MB per live plane.
+_EMD_TILE_ELEMS = 2 ** 26
+
+
+def _emd_row_chunk(B: int, n: int, m: int) -> int:
+    """Row-chunk size for the tiled auction (0 = untiled fits the budget)."""
+    if B * n * m <= _EMD_TILE_ELEMS:
+        return 0
+    nc = max(256, _EMD_TILE_ELEMS // (B * m) // 256 * 256)
+    return min(nc, n)
+
+
+def _pad_rows(x: jax.Array, n_pad: int) -> jax.Array:
+    n = x.shape[1]
+    if n_pad == n:
+        return x
+    pad = jnp.zeros((x.shape[0], n_pad - n) + x.shape[2:], x.dtype)
+    return jnp.concatenate([x, pad], axis=1)
+
+
+def _auction_rounds_tiled(xyz1: jax.Array, xyz2: jax.Array, nc: int):
+    """Row-chunked epsilon-scaling auction: the (B, n, m) plane is recomputed
+    chunk-by-chunk inside each round, never materialized whole.
+
+    Two chunk sweeps per round: sweep A forms suml/ratioL per chunk and
+    accumulates the column sums; sweep B (after ratioR is known) forms the
+    row-mass deltas and the cost.  Padding rows carry zero left mass, so
+    they contribute nothing to any contraction.
+
+    Returns (cost (B,), ratiosL (10, B, n), ratiosR (10, B, m)) — identical
+    (up to f32 reduction order) to `_auction_rounds(pairwise_sqdist(...))`.
+    """
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    T = -(-n // nc)
+    n_pad = T * nc
+    x1 = _pad_rows(xyz1.astype(jnp.float32), n_pad)
+    x2 = xyz2.astype(jnp.float32)
+    x1c = x1.reshape(B, T, nc, 3).transpose(1, 0, 2, 3)  # (T, B, nc, 3)
+    multiL, multiR = _init_masses(n, m)
+    levels = jnp.asarray(_LEVELS, dtype=jnp.float32)
+    real_row = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, n_pad), 1) < n
+    ).astype(jnp.float32)
+
+    def chunk_d(x1_chunk):
+        return pairwise_sqdist(x1_chunk, x2)  # (B, nc, m)
+
+    def body(carry, level):
+        remainL, remainR, cost = carry  # (B, n_pad), (B, m), (B,)
+        remLc = remainL.reshape(B, T, nc).transpose(1, 0, 2)
+
+        def sweep_a(sumr_acc, inp):
+            x1_chunk, remL_chunk = inp
+            w = jnp.exp(level * chunk_d(x1_chunk))
+            suml = (
+                jnp.einsum("bnm,bm->bn", w, remainR,
+                           preferred_element_type=jnp.float32) + 1e-9
+            )
+            ratioL = remL_chunk / suml
+            sumr_acc = sumr_acc + jnp.einsum(
+                "bnm,bn->bm", w, ratioL, preferred_element_type=jnp.float32
+            )
+            return sumr_acc, ratioL
+
+        sumr_acc, ratioLc = jax.lax.scan(
+            sweep_a, jnp.zeros((B, m), jnp.float32), (x1c, remLc)
+        )
+        sumr = sumr_acc * remainR
+        consumption = jnp.minimum(remainR / (sumr + 1e-9), 1.0)
+        ratioR = consumption * remainR
+        remainR_new = jnp.maximum(0.0, remainR - sumr)
+
+        def sweep_b(cost_acc, inp):
+            x1_chunk, ratioL_chunk = inp
+            d = chunk_d(x1_chunk)
+            w = jnp.exp(level * d)
+            drs = ratioL_chunk * jnp.einsum(
+                "bnm,bm->bn", w, ratioR, preferred_element_type=jnp.float32
+            )
+            cost_acc = cost_acc + jnp.einsum(
+                "bn,bnm,bm->b", ratioL_chunk, w * d, ratioR,
+                preferred_element_type=jnp.float32,
+            )
+            return cost_acc, drs
+
+        cost_new, drsc = jax.lax.scan(sweep_b, cost, (x1c, ratioLc))
+        remainL_new = jnp.maximum(
+            0.0, remainL - drsc.transpose(1, 0, 2).reshape(B, n_pad)
+        ) * real_row
+        ratioL_full = ratioLc.transpose(1, 0, 2).reshape(B, n_pad)
+        return (remainL_new, remainR_new, cost_new), (ratioL_full, ratioR)
+
+    init = (
+        jnp.full((B, n_pad), multiL, jnp.float32) * real_row,
+        jnp.full((B, m), multiR, jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+    )
+    (_, _, cost), (ratiosL, ratiosR) = jax.lax.scan(body, init, levels)
+    return cost, ratiosL[:, :, :n], ratiosR
+
+
 @jax.custom_vjp
 def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
     """Approximate EMD per batch element, normalized by max(n, m).
@@ -113,9 +218,15 @@ def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
 
     Returns:
       (B,) costs — matching pointnet2/emd.py:6-28 (cost / max(n, m)).
+      Large clouds (e.g. the 16384-pt refine+upsample eval) run the
+      row-chunked auction automatically (see _EMD_TILE_ELEMS).
     """
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
+    nc = _emd_row_chunk(B, n, m)
+    if nc:
+        cost, _, _ = _auction_rounds_tiled(xyz1, xyz2, nc)
+        return cost / max(n, m)
     d = pairwise_sqdist(xyz1, xyz2)
     cost, _, _ = _auction_rounds(d, n, m)
     return cost / max(n, m)
@@ -133,8 +244,12 @@ def _emd_fwd(xyz1, xyz2):
     the sequential auction or materializing any (B, n, m) round tensor."""
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    d = pairwise_sqdist(xyz1, xyz2)
-    cost, ratiosL, ratiosR = _auction_rounds(d, n, m)
+    nc = _emd_row_chunk(B, n, m)
+    if nc:
+        cost, ratiosL, ratiosR = _auction_rounds_tiled(xyz1, xyz2, nc)
+    else:
+        d = pairwise_sqdist(xyz1, xyz2)
+        cost, ratiosL, ratiosR = _auction_rounds(d, n, m)
     return cost / max(n, m), (xyz1, xyz2, ratiosL, ratiosR)
 
 
@@ -148,7 +263,6 @@ def _emd_bwd(res, g):
     xyz1, xyz2, ratiosL, ratiosR = res
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    d = pairwise_sqdist(xyz1, xyz2)  # recomputed: one matmul, no residual
     levels = jnp.asarray(_LEVELS, dtype=jnp.float32)
 
     # right-hand sides: [1, xyz] so one contraction yields both the mass sum
@@ -156,19 +270,60 @@ def _emd_bwd(res, g):
     rhs2 = jnp.concatenate([jnp.ones((B, m, 1), jnp.float32), xyz2], axis=-1)
     rhs1 = jnp.concatenate([jnp.ones((B, n, 1), jnp.float32), xyz1], axis=-1)
 
-    def body(acc, inputs):
-        level, ratioL, ratioR = inputs
-        w = jnp.exp(level * d)  # (B, n, m)
-        a = jnp.einsum(
-            "bnm,bmc->bnc", w, ratioR[..., None] * rhs2,
-            preferred_element_type=jnp.float32,
-        )  # (B, n, 4): [w @ ratioR, w @ (ratioR * xyz2)]
-        b = jnp.einsum(
-            "bnm,bnc->bmc", w, ratioL[..., None] * rhs1,
-            preferred_element_type=jnp.float32,
-        )  # (B, m, 4)
-        acc1, acc2 = acc
-        return (acc1 + ratioL[..., None] * a, acc2 + ratioR[..., None] * b), None
+    nc = _emd_row_chunk(B, n, m)
+    if nc:
+        # row-chunked: recompute each chunk's plane, like the tiled forward
+        T = -(-n // nc)
+        n_pad = T * nc
+        x1c = _pad_rows(xyz1.astype(jnp.float32), n_pad).reshape(
+            B, T, nc, 3).transpose(1, 0, 2, 3)
+        rhs1c = _pad_rows(rhs1, n_pad).reshape(B, T, nc, 4).transpose(1, 0, 2, 3)
+        x2 = xyz2.astype(jnp.float32)
+
+        def body(acc, inputs):
+            level, ratioL, ratioR = inputs
+            rLc = _pad_rows(ratioL[..., None], n_pad)[..., 0].reshape(
+                B, T, nc).transpose(1, 0, 2)
+            rr_rhs2 = ratioR[..., None] * rhs2
+
+            def chunk(acc2, inp):
+                x1_chunk, rL_chunk, rhs1_chunk = inp
+                w = jnp.exp(level * pairwise_sqdist(x1_chunk, x2))
+                a_chunk = jnp.einsum(
+                    "bnm,bmc->bnc", w, rr_rhs2,
+                    preferred_element_type=jnp.float32,
+                )  # (B, nc, 4)
+                acc2 = acc2 + jnp.einsum(
+                    "bnm,bnc->bmc", w, rL_chunk[..., None] * rhs1_chunk,
+                    preferred_element_type=jnp.float32,
+                )
+                return acc2, a_chunk
+
+            acc2_new, a_chunks = jax.lax.scan(
+                chunk, jnp.zeros((B, m, 4), jnp.float32), (x1c, rLc, rhs1c)
+            )
+            a = a_chunks.transpose(1, 0, 2, 3).reshape(B, n_pad, 4)[:, :n]
+            acc1, acc2 = acc
+            return (
+                acc1 + ratioL[..., None] * a,
+                acc2 + ratioR[..., None] * acc2_new,
+            ), None
+    else:
+        d = pairwise_sqdist(xyz1, xyz2)  # recomputed: one matmul, no residual
+
+        def body(acc, inputs):
+            level, ratioL, ratioR = inputs
+            w = jnp.exp(level * d)  # (B, n, m)
+            a = jnp.einsum(
+                "bnm,bmc->bnc", w, ratioR[..., None] * rhs2,
+                preferred_element_type=jnp.float32,
+            )  # (B, n, 4): [w @ ratioR, w @ (ratioR * xyz2)]
+            b = jnp.einsum(
+                "bnm,bnc->bmc", w, ratioL[..., None] * rhs1,
+                preferred_element_type=jnp.float32,
+            )  # (B, m, 4)
+            acc1, acc2 = acc
+            return (acc1 + ratioL[..., None] * a, acc2 + ratioR[..., None] * b), None
 
     (acc1, acc2), _ = jax.lax.scan(
         body,

@@ -119,14 +119,18 @@ def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
 
 # Per-grid-step VMEM budget for the working set (bytes).  The kernel's live
 # set is ~8 (Bt, N) f32 planes (xyz x3, running min, distance, candidate,
-# one-hot/iota temporaries); cap it well under the ~16 MB/core VMEM.
+# one-hot/iota temporaries); cap it well under the ~16 MB/core VMEM.  The
+# stacked variant additionally keeps a (3Bt, N) slab plus same-shaped
+# onehot/masked temporaries live (~6 extra planes).
 _FPS_VMEM_BUDGET = 8 * 2 ** 20
 _FPS_PLANES = 8
+_FPS_PLANES_STACKED = 14
 
 
-def fps_batch_tile(B: int, N: int) -> int:
+def fps_batch_tile(B: int, N: int, stacked: bool = False) -> int:
     """Largest batch tile whose (Bt, N) working set fits the VMEM budget."""
-    per_row = N * 4 * _FPS_PLANES
+    planes = _FPS_PLANES_STACKED if stacked else _FPS_PLANES
+    per_row = N * 4 * planes
     return max(1, min(B, _FPS_VMEM_BUDGET // per_row))
 
 
@@ -147,8 +151,13 @@ def furthest_point_sample_pallas(
     Returns:
       (B, npoint) int32 indices.
     """
-    stacked = os.environ.get("PDR_FPS_STACKED", "0") != "0"
-    return _fps_pallas_impl(xyz, npoint, interpret, stacked)
+    return _fps_pallas_impl(xyz, npoint, interpret, _FPS_STACKED)
+
+
+# Read once at import: the flag selects a traced code path, so a call-time
+# read would be captured at first trace and later toggles would silently
+# no-op inside an outer jit (advisor r2).
+_FPS_STACKED = os.environ.get("PDR_FPS_STACKED", "0") != "0"
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -156,7 +165,7 @@ def _fps_pallas_impl(
     xyz: jax.Array, npoint: int, interpret: bool, stacked: bool
 ) -> jax.Array:
     B, N, _ = xyz.shape
-    Bt = min(B, fps_batch_tile(B, N))
+    Bt = min(B, fps_batch_tile(B, N, stacked))
     kernel = functools.partial(
         _fps_kernel_stacked if stacked else _fps_kernel, npoint
     )

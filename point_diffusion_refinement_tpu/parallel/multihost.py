@@ -31,17 +31,46 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def _gather_ragged(x: np.ndarray, allgather) -> np.ndarray:
+    """Pad-to-max → allgather → trim-per-host → concat along axis 0.
+
+    `process_allgather` requires identical shapes on every host, but test
+    shards are ceil-divided (data/mvp.py) so the last host may hold fewer
+    rows.  Gathering the true lengths first and padding to the global max
+    makes the collective shape-uniform; the padding is trimmed per host
+    after the gather.  Pure function (the collective is injected) so the
+    ragged path is unit-testable on one host.
+    """
+    n = np.asarray([x.shape[0]], np.int64)
+    lengths = np.asarray(allgather(n)).reshape(-1)
+    max_n = int(lengths.max())
+    if x.shape[0] < max_n:
+        pad = np.zeros((max_n - x.shape[0],) + x.shape[1:], x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    gathered = np.asarray(allgather(x))  # (P, max_n, ...)
+    return np.concatenate(
+        [gathered[i, : int(lengths[i])] for i in range(len(lengths))], axis=0
+    )
+
+
 def all_gather_host_arrays(x: np.ndarray) -> np.ndarray:
     """Gather per-host arrays (concatenated along axis 0) to every host.
 
     The TPU analogue of the per-rank pickle merge: each host contributes its
-    dataset shard's metrics/clouds; everyone receives the full set.
+    dataset shard's metrics/clouds; everyone receives the full set.  Hosts
+    may hold different numbers of rows (ragged last shard) — rows are padded
+    to the global max for the collective and trimmed after, unlike the
+    reference which tolerates ragged ranks only because each writes its own
+    pickle (train.py:128-257).
     """
+    x = np.asarray(x)
     if jax.process_count() == 1:
-        return np.asarray(x)
+        return x
     from jax.experimental import multihost_utils
 
-    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+    if x.ndim == 0:
+        return np.asarray(multihost_utils.process_allgather(x))
+    return _gather_ragged(x, multihost_utils.process_allgather)
 
 
 def barrier(name: str = "pdr_barrier"):

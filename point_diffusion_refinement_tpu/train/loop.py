@@ -117,6 +117,42 @@ def make_dataset(trainset_config: dict, phase, rank: int, world: int,
     )
 
 
+def make_eval_sampler(model, schedule, diffusion_config: dict,
+                      num_points: int, eval_T: int, mesh=None):
+    """Sampler for the in-loop eval (train.py:568-631).
+
+    `eval_sampling_steps` (eval_T) > 0 runs a FastDPM VAR plan of that
+    length — the shipped fast-sampling recipe (var/quadratic/kappa=0.5,
+    README.md:97) — instead of the full ancestral schedule, making each
+    checkpoint eval ~T/eval_T cheaper.  Returns (sampler_fn, steps_per_sample).
+    """
+    from ..diffusion import fastdpm
+
+    fast_plan = None
+    if 0 < eval_T < schedule.T:
+        fast_plan = fastdpm.make_fast_sampling_plan(
+            schedule,
+            diffusion_config["T"],
+            diffusion_config["beta_0"],
+            diffusion_config["beta_T"],
+            length=eval_T,
+            sampling_method="var",
+            noise_schedule="quadratic",
+            kappa=0.5,
+        )
+    # segment long schedules into bounded device executions (see
+    # sample/generate.py); short/fast ones run as one jitted program
+    seg = 200 if (fast_plan is None and schedule.T > 200) else None
+    sampler = make_coarse_sampler(
+        model, schedule, num_points=num_points,
+        fast_plan=fast_plan, segment_size=seg, mesh=mesh,
+    )
+    if seg is None:
+        sampler = jax.jit(sampler)
+    n_steps = int(fast_plan.tau.shape[0]) if fast_plan is not None else int(schedule.T)
+    return sampler, n_steps
+
+
 def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
           dataset_override=None, eval_dataset_override=None,
           trainset_eval_dataset_override=None) -> dict:
@@ -175,13 +211,24 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
         ts0 = jnp.zeros((x0.shape[0],), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), net_in, condition, ts0, label)
 
-    if pointnet_config.get("record_neighbor_stats", False) and condition is not None:
-        # the reference records counts inside every forward and prints them
-        # on demand (pointnet2_utils.py:423-428); here the same per-module
-        # report runs once on the first batch (radii tuning is static)
-        from ..utils.neighbor_stats import model_neighbor_stats
+    record_stats = bool(
+        pointnet_config.get("record_neighbor_stats", False)
+        and pointnet_config.get("network_type", "pointnet++") == "pointnet++"
+    )
+    stats_acc = None
+    if record_stats and condition is not None:
+        # one-shot architecture report on the first batch (radii tuning aid)
+        from ..utils.neighbor_stats import (
+            NeighborStatsAccumulator,
+            model_neighbor_stats,
+        )
 
         model_neighbor_stats(pointnet_config, net_in, condition)
+        # per-forward accumulation across training (the reference records
+        # counts inside every forward, pointnet2_utils.py:423-428; here the
+        # modules sow exact count histograms and this accumulator merges
+        # them across steps, reported at every checkpoint)
+        stats_acc = NeighborStatsAccumulator()
 
     state, tx = create_train_state(
         params, jax.random.key(rank + 1), train_config.get("learning_rate", 2e-4)
@@ -197,8 +244,11 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
     time0 = time.time() - prev_secs
 
     scale = trainset_config.get("scale", 1)
+    record_stats = record_stats and stats_acc is not None
     if task == "completion":
-        step_fn = make_completion_train_step(model, schedule, tx)
+        step_fn = make_completion_train_step(
+            model, schedule, tx, record_stats=record_stats
+        )
         n_batch_args = 3
     else:
         step_fn = make_refine_train_step(
@@ -216,6 +266,7 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
             if pointnet_config.get("point_upsample_factor", 1) > 1
             else 0.0,
             task=task,
+            record_stats=record_stats,
         )
         n_batch_args = 4
 
@@ -224,6 +275,7 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
     jitted, state = jit_step_for_mesh(
         step_fn, mesh, state, n_array_args=n_batch_args,
         n_scalar_args=0 if task == "completion" else 1,
+        n_extra_outputs=1 if record_stats else 0,
     )
 
     osf_scheduler = None
@@ -270,17 +322,11 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
         data_par = int(mesh.shape["data"])
         bs = trainset_config.get("eval_batch_size", 32)
         if task == "completion":
-            # segment long schedules into bounded device executions (see
-            # sample/generate.py); short ones run as one jitted program
-            seg = 200 if schedule.T > 200 else None
-            sampler = make_coarse_sampler(
-                model, schedule,
+            sampler, _ = make_eval_sampler(
+                model, schedule, diffusion_config,
                 num_points=trainset_config.get("npoints", 2048),
-                segment_size=seg,
-                mesh=mesh,
+                eval_T=eval_T, mesh=mesh,
             )
-            if seg is None:
-                sampler = jax.jit(sampler)
             rng_holder = [jax.random.key(4242 + n_iter_now)]
 
             def gen_fn(batch):
@@ -395,7 +441,7 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
             label = jnp.asarray(batch["label"])
             if task == "completion":
                 args = shard_batch((x0, condition, label), mesh)
-                state, loss = jitted(state, *args)
+                out = jitted(state, *args)
             else:
                 generated = jnp.asarray(batch.get("generated", batch["complete"]))
                 osf = (
@@ -404,7 +450,12 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
                     else output_scale_factor
                 )
                 args = shard_batch((x0, condition, label, generated), mesh)
-                state, loss = jitted(state, *args, jnp.float32(osf))
+                out = jitted(state, *args, jnp.float32(osf))
+            if record_stats:
+                state, loss, step_stats = out
+                stats_acc.update(step_stats)
+            else:
+                state, loss = out
             loss_val = float(loss)
             loss_meter.update(loss_val)
 
@@ -424,6 +475,8 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
                         training_time_seconds=time.time() - time0,
                     )
                     print(f"checkpoint saved at iteration {n_iter}", flush=True)
+                    if stats_acc is not None and stats_acc.forwards:
+                        stats_acc.report()
 
                 if (
                     num_samples_tested > 0
@@ -488,6 +541,7 @@ def train(config: dict, *, max_steps: Optional[int] = None, mesh=None,
         "n_iter": n_iter,
         "eval_records": eval_records,
         "best_cd": best_cd,
+        "neighbor_stats": stats_acc,
     }
 
 

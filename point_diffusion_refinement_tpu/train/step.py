@@ -49,8 +49,14 @@ def make_completion_train_step(
     model,
     schedule: DiffusionSchedule,
     tx: optax.GradientTransformation,
+    record_stats: bool = False,
 ) -> Callable:
-    """DDPM epsilon-MSE step (train.py:524-534 + util.py:258-294)."""
+    """DDPM epsilon-MSE step (train.py:524-534 + util.py:258-294).
+
+    With record_stats, the forward also collects the per-module
+    'neighbor_stats' histograms (record_neighbor_stats,
+    pointnet2_utils.py:423-428) and the step returns (state, loss, stats).
+    """
 
     def loss_fn(params, rng, x0, condition, label):
         B = x0.shape[0]
@@ -58,22 +64,36 @@ def make_completion_train_step(
         t = jax.random.randint(rng_t, (B,), 0, schedule.T)
         z = jax.random.normal(rng_z, x0.shape, dtype=x0.dtype)
         x_t = q_sample(x0, t, z, schedule)
+        if record_stats:
+            eps_hat, aux = model.apply(
+                params, x_t, condition, t.astype(jnp.float32), label,
+                mutable=["neighbor_stats"],
+            )
+            return (
+                jnp.mean(jnp.square(eps_hat - z)),
+                aux.get("neighbor_stats", {}),
+            )
         eps_hat = model.apply(params, x_t, condition, t.astype(jnp.float32), label)
         return jnp.mean(jnp.square(eps_hat - z))
 
     def step(state: TrainState, x0, condition, label):
         rng, rng_step = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, rng_step, x0, condition, label
-        )
+        if record_stats:
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, rng_step, x0, condition, label
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, rng_step, x0, condition, label
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-            ),
-            loss,
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
+        if record_stats:
+            return new_state, loss, stats
+        return new_state, loss
 
     return step
 
@@ -89,6 +109,7 @@ def make_refine_train_step(
     intermediate_loss_weight: float = 0.0,
     noise_magnitude: float = 0.0,
     task: str = "refine_completion",
+    record_stats: bool = False,
 ) -> Callable:
     """Refinement / denoise step (train.py:474-522).
 
@@ -97,6 +118,9 @@ def make_refine_train_step(
 
     For task='denoise', `generated` is produced inside the step as
     X + N(0, noise_magnitude) (train.py:462-464).
+
+    With record_stats, the step additionally returns the per-module
+    'neighbor_stats' histograms (see make_completion_train_step).
     """
     loss_idx = 1 if cd_loss_type == "cd_t" else 0
 
@@ -106,7 +130,15 @@ def make_refine_train_step(
             generated_in = x_gt + noise
         else:
             generated_in = generated
-        displacement = model.apply(params, generated_in, condition, None, label)
+        stats = {}
+        if record_stats:
+            displacement, aux = model.apply(
+                params, generated_in, condition, None, label,
+                mutable=["neighbor_stats"],
+            )
+            stats = aux.get("neighbor_stats", {})
+        else:
+            displacement = model.apply(params, generated_in, condition, None, label)
         if point_upsample_factor > 1:
             refined, intermediate = point_upsample(
                 generated_in,
@@ -124,32 +156,43 @@ def make_refine_train_step(
         if intermediate is not None and intermediate_loss_weight > 0:
             inter = intermediate / scale / 2.0
             loss = loss + calc_cd(inter, x)[loss_idx].mean() * intermediate_loss_weight
+        if record_stats:
+            return loss, stats
         return loss
 
     def step(state: TrainState, x_gt, condition, label, generated, output_scale_factor):
         rng, rng_step = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, rng_step, x_gt, condition, label, generated,
-            output_scale_factor,
-        )
+        if record_stats:
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, rng_step, x_gt, condition, label, generated,
+                output_scale_factor,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, rng_step, x_gt, condition, label, generated,
+                output_scale_factor,
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
-            ),
-            loss,
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
         )
+        if record_stats:
+            return new_state, loss, stats
+        return new_state, loss
 
     return step
 
 
 def jit_step_for_mesh(
-    step_fn, mesh, state: TrainState, n_array_args: int, n_scalar_args: int = 0
+    step_fn, mesh, state: TrainState, n_array_args: int, n_scalar_args: int = 0,
+    n_extra_outputs: int = 0,
 ):
     """jit a train step with DP batch sharding + FSDP param sharding over the
     mesh.  Trailing `n_scalar_args` arguments (e.g. the refine step's
-    output_scale_factor) are replicated.  Returns (jitted_fn, sharded_state)."""
+    output_scale_factor) are replicated; `n_extra_outputs` extra replicated
+    outputs after (state, loss) (e.g. the neighbor-stats collection).
+    Returns (jitted_fn, sharded_state)."""
     from ..parallel.mesh import batch_sharding, param_sharding_rule, replicated
 
     rule = param_sharding_rule(mesh)
@@ -175,5 +218,6 @@ def jit_step_for_mesh(
         lambda x, sh: jax.device_put(x, sh), state, st_sh
     )
     in_shardings = (st_sh,) + (bsh,) * n_array_args + (rep,) * n_scalar_args
-    jitted = jax.jit(step_fn, in_shardings=in_shardings, out_shardings=(st_sh, rep))
+    out_shardings = (st_sh,) + (rep,) * (1 + n_extra_outputs)
+    jitted = jax.jit(step_fn, in_shardings=in_shardings, out_shardings=out_shardings)
     return jitted, sharded_state

@@ -21,6 +21,73 @@ from ..ops.sampling import furthest_point_sample, gather_points
 QUANTILES = np.linspace(0.0, 1.0, 11)
 
 
+class NeighborStatsAccumulator:
+    """Accumulate per-module neighbor-count histograms across forwards.
+
+    The modules sow one (nsample+1,) count histogram per forward into the
+    'neighbor_stats' collection (models/modules.py:_sow_count_hist); feeding
+    each step's collection here keeps an exact running histogram per module,
+    so the report reflects every augmented batch seen — a strictly stronger
+    instrument than the reference's latest-batch snapshot
+    (pointnet2_utils.py:423-428).
+    """
+
+    def __init__(self):
+        self.hists: dict[str, np.ndarray] = {}
+        self.forwards = 0
+
+    def update(self, collection: dict) -> None:
+        """Merge one apply()'s 'neighbor_stats' collection."""
+        if not collection:
+            return
+        self.forwards += 1
+        import jax
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(collection)[0]:
+            # path ends with .count_hist and the sow tuple index
+            parts = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+            name = "/".join(str(p) for p in parts if isinstance(p, str))
+            h = np.asarray(leaf, np.float64)
+            if name in self.hists:
+                self.hists[name] = self.hists[name] + h
+            else:
+                self.hists[name] = h
+
+    @staticmethod
+    def _stats_from_hist(hist: np.ndarray) -> dict:
+        total = hist.sum()
+        vals = np.arange(len(hist))
+        nz = np.nonzero(hist)[0]
+        cum = np.cumsum(hist) / max(total, 1.0)
+        quant = np.array([vals[np.searchsorted(cum, q)] for q in
+                          np.clip(QUANTILES, 1e-12, 1 - 1e-12)], np.int64)
+        return {
+            "min": float(nz[0]) if len(nz) else 0.0,
+            "mean": float((vals * hist).sum() / max(total, 1.0)),
+            "max": float(nz[-1]) if len(nz) else 0.0,
+            "quantiles": quant,
+        }
+
+    def stats(self) -> dict:
+        return {k: self._stats_from_hist(v) for k, v in sorted(self.hists.items())}
+
+    def report(self) -> str:
+        """Per-module min/mean/max + decile report
+        (report_neighbor_stats, pointnet2_with_pcld_condition.py:478-510)."""
+        lines = [
+            f"neighbor count stats over {self.forwards} forwards "
+            "(min/mean/max + deciles)"
+        ]
+        for name, s in self.stats().items():
+            lines.append(
+                f"  {name}: min={s['min']:.0f} mean={s['mean']:.1f} "
+                f"max={s['max']:.0f} deciles={list(s['quantiles'])}"
+            )
+        text = "\n".join(lines)
+        print(text, flush=True)
+        return text
+
+
 def count_stats(counts: np.ndarray) -> dict:
     counts = np.asarray(counts, np.float64).reshape(-1)
     return {

@@ -1,0 +1,328 @@
+"""Round-3 fixes: ragged multi-host gather, eval_sampling_steps wiring,
+per-forward neighbor-count accumulation, batched pairwise metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_diffusion_refinement_tpu import diffusion
+from point_diffusion_refinement_tpu.config import tiny_pointnet_config
+from point_diffusion_refinement_tpu.models import PointNet2CloudCondition
+from point_diffusion_refinement_tpu.parallel.multihost import _gather_ragged
+from point_diffusion_refinement_tpu.train import (
+    create_train_state,
+    make_completion_train_step,
+)
+from point_diffusion_refinement_tpu.train.loop import make_eval_sampler
+from point_diffusion_refinement_tpu.utils.neighbor_stats import (
+    NeighborStatsAccumulator,
+)
+
+
+class TestRaggedGather:
+    """all_gather_host_arrays must survive hosts holding different row counts
+    (test shards are ceil-divided, data/mvp.py — the last host is short)."""
+
+    @staticmethod
+    def _fake_hosts(shards):
+        """Simulate process_allgather over `shards` (list of per-host arrays):
+        each call stacks what every host would contribute.  We emulate host 0's
+        view; the collective sees every host's (identically-shaped) input."""
+        state = {"i": 0}
+
+        def allgather(x):
+            if state["i"] == 0:
+                state["i"] += 1
+                # lengths round: every host contributes its own length
+                return np.stack([np.asarray([s.shape[0]]) for s in shards])
+            # data round: pad every host's shard like the caller padded x
+            max_n = x.shape[0]
+            out = []
+            for s in shards:
+                pad_n = max_n - s.shape[0]
+                pad = np.zeros((pad_n,) + s.shape[1:], s.dtype)
+                out.append(np.concatenate([s, pad], axis=0))
+            return np.stack(out)
+
+        return allgather
+
+    def test_ragged_concat(self):
+        shards = [
+            np.arange(10, dtype=np.float32).reshape(5, 2),
+            np.arange(100, 110, dtype=np.float32).reshape(5, 2),
+            np.arange(200, 206, dtype=np.float32).reshape(3, 2),  # short last
+        ]
+        out = _gather_ragged(shards[0], self._fake_hosts(shards))
+        expected = np.concatenate(shards, axis=0)
+        np.testing.assert_array_equal(out, expected)
+
+    def test_uniform_concat(self):
+        shards = [np.full((4,), i, np.float32) for i in range(2)]
+        out = _gather_ragged(shards[0], self._fake_hosts(shards))
+        np.testing.assert_array_equal(out, np.concatenate(shards))
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = tiny_pointnet_config()
+    model = PointNet2CloudCondition.from_config(cfg)
+    rng = np.random.default_rng(3)
+    B, N, M = 2, 48, 64
+    x = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    cond = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-1, 1, (B, M, 3)), np.ones((B, M, 1))], axis=-1
+        ).astype(np.float32)
+    )
+    label = jnp.zeros((B,), jnp.int32)
+    params = model.init(
+        jax.random.key(0), x, cond, jnp.zeros((B,), jnp.float32), label
+    )
+    return model, params, x, cond, label
+
+
+class TestEvalSamplingSteps:
+    """train_config.eval_sampling_steps must change the eval sampler's step
+    count (VERDICT r2: the key was read and never used)."""
+
+    def test_fast_plan_length(self, tiny_setup):
+        model, params, x, cond, label = tiny_setup
+        dc = {"T": 50, "beta_0": 1e-4, "beta_T": 0.02}
+        schedule = diffusion.calc_diffusion_hyperparams(50, 1e-4, 0.02)
+        sampler, n_steps = make_eval_sampler(
+            model, schedule, dc, num_points=48, eval_T=5
+        )
+        assert n_steps == 5
+        out = sampler(params, jax.random.key(0), cond, label)
+        assert out.shape == (cond.shape[0], 48, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_zero_means_full_schedule(self, tiny_setup):
+        model, _, _, _, _ = tiny_setup
+        dc = {"T": 50, "beta_0": 1e-4, "beta_T": 0.02}
+        schedule = diffusion.calc_diffusion_hyperparams(50, 1e-4, 0.02)
+        _, n_steps = make_eval_sampler(model, schedule, dc, num_points=48, eval_T=0)
+        assert n_steps == 50
+
+
+class TestNeighborStatsAccumulation:
+    """Per-forward neighbor-count recording (record_neighbor_stats,
+    pointnet2_utils.py:423-428): modules sow count histograms, the train step
+    returns them, and the accumulator merges across forwards so the report
+    reflects every (augmented) batch."""
+
+    def test_step_returns_stats_and_accumulates(self):
+        cfg = tiny_pointnet_config()
+        cfg["record_neighbor_stats"] = True
+        model = PointNet2CloudCondition.from_config(cfg)
+        rng = np.random.default_rng(0)
+        B, N, M = 2, 48, 64
+        x = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+        cond = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-1, 1, (B, M, 3)), np.ones((B, M, 1))], axis=-1
+            ).astype(np.float32)
+        )
+        label = jnp.zeros((B,), jnp.int32)
+        params = model.init(
+            jax.random.key(0), x, cond, jnp.zeros((B,), jnp.float32), label
+        )
+        # the flag must not leak a collection into the param tree
+        assert "neighbor_stats" not in params
+
+        schedule = diffusion.calc_diffusion_hyperparams(10, 1e-4, 0.02)
+        state, tx = create_train_state(params, jax.random.key(1), 1e-3)
+        step = jax.jit(
+            make_completion_train_step(model, schedule, tx, record_stats=True)
+        )
+        acc = NeighborStatsAccumulator()
+        state, loss, stats = step(state, x, cond, label)
+        assert stats, "expected a non-empty neighbor_stats collection"
+        acc.update(stats)
+        # second forward on DIFFERENT data accumulates (not snapshots)
+        x2 = x * 0.5
+        state, loss, stats2 = step(state, x2, cond, label)
+        acc.update(stats2)
+        assert acc.forwards == 2
+
+        s = acc.stats()
+        assert s, "accumulator should hold per-module stats"
+        # every radius grouper in the tiny config sows; each histogram's mass
+        # equals forwards * B * n_centers for that module
+        for name, st in s.items():
+            hist = acc.hists[name]
+            assert hist.sum() > 0
+            assert 0 <= st["min"] <= st["mean"] <= st["max"]
+            assert len(st["quantiles"]) == 11
+        report = acc.report()
+        assert "2 forwards" in report
+
+    def test_stats_reflect_data_distribution(self):
+        """Counts must differ between dense and sparse clouds — i.e. the
+        instrument sees the actual batch, not a cached first batch."""
+        cfg = tiny_pointnet_config()
+        cfg["record_neighbor_stats"] = True
+        model = PointNet2CloudCondition.from_config(cfg)
+        rng = np.random.default_rng(1)
+        B, N, M = 2, 48, 64
+        mk = lambda s: jnp.asarray(rng.uniform(-s, s, (B, N, 3)).astype(np.float32))
+        cond = jnp.asarray(
+            np.concatenate(
+                [rng.uniform(-1, 1, (B, M, 3)), np.ones((B, M, 1))], axis=-1
+            ).astype(np.float32)
+        )
+        label = jnp.zeros((B,), jnp.int32)
+        x_dense = mk(0.1)   # tightly packed -> large neighbor counts
+        x_sparse = mk(2.0)  # spread out -> small counts
+        params = model.init(
+            jax.random.key(0), x_dense, cond, jnp.zeros((B,), jnp.float32), label
+        )
+        ts = jnp.zeros((B,), jnp.float32)
+
+        def stats_for(x):
+            _, aux = model.apply(
+                params, x, cond, ts, label, mutable=["neighbor_stats"]
+            )
+            acc = NeighborStatsAccumulator()
+            acc.update(aux["neighbor_stats"])
+            return acc.stats()
+
+        dense = stats_for(x_dense)
+        sparse = stats_for(x_sparse)
+        # the x_t-branch SA module sees the different clouds
+        keys = [k for k in dense if k.startswith("sa_0")]
+        assert keys
+        assert dense[keys[0]]["mean"] > sparse[keys[0]]["mean"]
+
+
+class TestTiledEMD:
+    """The row-chunked auction must match the untiled one exactly (it is the
+    same math in a different reduction order); it exists so the 16384-pt
+    refine+upsample eval never materializes the (B, n, m) plane
+    (emd_kernel.cu:29-247 streams it the same way)."""
+
+    def test_cost_matches_untiled(self):
+        """The transported COST is the quantity with parity meaning: the
+        epsilon-scaling auction's per-round mass routing is chaotically
+        sensitive to last-ulp reduction-order differences (remainR - sumr
+        cancellations amplify ~1e-7 into routing changes by round 4), but
+        the resulting cost agrees to ~1e-5 — the same stability the
+        reference's own approximation relies on."""
+        from point_diffusion_refinement_tpu.ops import emd as E
+
+        rng = np.random.default_rng(0)
+        B, n, m = 2, 70, 50  # n not a multiple of the chunk -> padded tail
+        x1 = jnp.asarray(rng.uniform(-1, 1, (B, n, 3)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(-1, 1, (B, m, 3)).astype(np.float32))
+        d = E.pairwise_sqdist(x1, x2)
+        cost_u, rl_u, rr_u = E._auction_rounds(d, n, m)
+        cost_t, rl_t, rr_t = E._auction_rounds_tiled(x1, x2, nc=32)
+        np.testing.assert_allclose(np.asarray(cost_u), np.asarray(cost_t),
+                                   rtol=1e-4, atol=1e-6)
+        # before the chaos horizon the rounds are essentially bit-equal
+        np.testing.assert_allclose(np.asarray(rl_u)[:2], np.asarray(rl_t)[:2],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(rr_u)[:3], np.asarray(rr_t)[:3],
+                                   rtol=1e-5)
+
+    def test_bwd_chunking_matches_given_same_residuals(self, monkeypatch):
+        """The chunked backward is a pure reduction reorder of the untiled
+        one: with IDENTICAL residuals both must produce the same gradients
+        (this isolates the chunking from the auction's routing chaos)."""
+        from point_diffusion_refinement_tpu.ops import emd as E
+
+        rng = np.random.default_rng(1)
+        B, n, m = 2, 64, 48
+        x1 = jnp.asarray(rng.uniform(-1, 1, (B, n, 3)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(-1, 1, (B, m, 3)).astype(np.float32))
+        d = E.pairwise_sqdist(x1, x2)
+        _, rl, rr = E._auction_rounds(d, n, m)
+        res = (x1, x2, rl, rr)
+        g = jnp.ones((B,), jnp.float32)
+        g1_u, g2_u = E._emd_bwd(res, g)
+        monkeypatch.setattr(E, "_emd_row_chunk", lambda B_, n_, m_: 48)
+        g1_t, g2_t = E._emd_bwd(res, g)
+        np.testing.assert_allclose(np.asarray(g1_u), np.asarray(g1_t),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2_u), np.asarray(g2_t),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_tiled_grad_matches_match_formula(self, monkeypatch):
+        """End-to-end tiled grad vs the explicit match-based analytic formula
+        (matchcostgrad1/2, emd_kernel.cu): with the match M (reconstructed
+        from the SAME tiled forward's ratios), d cost/d x1_k =
+        2 sum_l M[l,k](x1_k - x2_l) / max(n,m)."""
+        from point_diffusion_refinement_tpu.ops import emd as E
+
+        monkeypatch.setattr(E, "_emd_row_chunk", lambda B_, n_, m_: 32)
+        rng = np.random.default_rng(2)
+        B, n, m = 2, 48, 40
+        x1 = jnp.asarray(rng.uniform(-1, 1, (B, n, 3)).astype(np.float32))
+        x2 = jnp.asarray(rng.uniform(-1, 1, (B, m, 3)).astype(np.float32))
+
+        def loss(a, b):
+            return E.earth_mover_distance(a, b).sum()
+
+        v = float(loss(x1, x2))
+        assert np.isfinite(v) and v > 0
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(x1, x2)
+
+        # explicit match from the tiled forward's own ratios
+        _, rl, rr = E._auction_rounds_tiled(x1, x2, nc=32)
+        d = E.pairwise_sqdist(x1, x2)
+        levels = jnp.asarray(E._LEVELS, jnp.float32)
+        match = sum(
+            rl[r][:, :, None] * jnp.exp(levels[r] * d) * rr[r][:, None, :]
+            for r in range(10)
+        )  # (B, n, m)
+        row = match.sum(2)
+        col = match.sum(1)
+        e1 = 2.0 / max(n, m) * (x1 * row[..., None] - match @ x2)
+        e2 = 2.0 / max(n, m) * (
+            x2 * col[..., None] - jnp.swapaxes(match, 1, 2) @ x1
+        )
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(e1),
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(e2),
+                                   rtol=1e-3, atol=1e-5)
+
+
+class TestBatchedPairwiseMetrics:
+    def test_matches_per_pair(self):
+        from point_diffusion_refinement_tpu.metrics.generation import (
+            emd_cd,
+            pairwise_emd_cd,
+        )
+
+        rng = np.random.default_rng(0)
+        S, R, N = 5, 7, 32
+        sample = rng.uniform(-1, 1, (S, N, 3)).astype(np.float32)
+        ref = rng.uniform(-1, 1, (R, N, 3)).astype(np.float32)
+        cd, emd = pairwise_emd_cd(sample, ref, batch_size=4, sample_batch_size=3)
+        # per-pair reference
+        for i in range(S):
+            row = emd_cd(
+                np.broadcast_to(sample[i], ref.shape).copy(), ref
+            )
+            np.testing.assert_allclose(cd[i], np.asarray(row["CD"]), rtol=2e-4, atol=1e-5)
+            np.testing.assert_allclose(emd[i], np.asarray(row["EMD"]), rtol=2e-4, atol=1e-5)
+
+    def test_dispatch_count_drops(self, monkeypatch):
+        """One dispatch covers an (Sb x Rb) tile: a (20, 20) sweep at 16x16
+        tiles is 4 calls, vs the 20 * ceil(20/16) = 40 of the per-sample
+        loop (>= 10x at the VERDICT's (100,100): 49 vs 700)."""
+        import point_diffusion_refinement_tpu.metrics.generation as G
+
+        calls = {"n": 0}
+        orig = G._block_vs_block
+
+        def counting(sb, rb, Rb):
+            calls["n"] += 1
+            return orig(sb, rb, Rb)
+
+        monkeypatch.setattr(G, "_block_vs_block", counting)
+        rng = np.random.default_rng(0)
+        pcs = rng.uniform(-1, 1, (20, 16, 3)).astype(np.float32)
+        G.pairwise_emd_cd(pcs, pcs, batch_size=16, sample_batch_size=16)
+        assert calls["n"] == 4  # 2 x 2 tiles

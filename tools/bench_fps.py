@@ -22,29 +22,13 @@ import numpy as np
 from point_diffusion_refinement_tpu.ops.pallas_fps import _fps_pallas_impl
 
 
-def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
-
-
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     rng = np.random.default_rng(0)
     for N, npoint in [(2048, 1024), (3072, 1024), (1024, 256)]:
-        # vary inputs across reps is not possible inside timeit's loop with
-        # one array; the tunnel memoizes identical executions — use a fresh
-        # array per repetition via a donated counter-perturbed input
         xyz = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
         ts = {}
         for stacked in (False, True):
-            def run(x, s=stacked):
-                return _fps_pallas_impl(x, npoint, False, s)
-
             # perturb input each call to defeat tunnel memoization
             def run_varied(i, s=stacked):
                 return _fps_pallas_impl(
