@@ -32,6 +32,51 @@ class _GNParams(nn.Module):
         return scale, bias
 
 
+class _DenseParams(nn.Module):
+    """Bare ``nn.Dense`` parameters (same names, shapes, inits) so the fused
+    Pallas attention path builds a param tree identical to the XLA path's."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _PGNParams(nn.Module):
+    """Bare ``PartialGroupNorm`` parameters (child ``GroupNorm_0``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _GNParams(self.features, name="GroupNorm_0")()
+
+
+def _fused_attention_enabled() -> bool:
+    """Opt-in (PDR_FUSED_ATTENTION=1).  Measured NEGATIVE on v5e (B=4,
+    shipped config): the 3-sweep fused kernel ran the FT-0 attention pair at
+    ~1.9 ms/step (P3 0.59 + P2 0.2 + P1 0.19 each, plus 0.8 ms of layout
+    copies at the pallas boundary — XLA holds the big grouped tensors
+    M-minor) vs ~0.4 ms for XLA's own stats+value fusions; full step 11.4 vs
+    5.2 ms.  XLA's convert_reduce fusions already emit (stats, bf16 value)
+    in one pass, so the recompute sweeps only add work.  Kept parity-tested
+    (tests/test_pallas_attention.py) as infrastructure; a win would need
+    the producer (windowed grouping kernel) to emit attention inputs
+    directly so the (B, M, K, C) tensors never hit HBM at all."""
+    import os
+
+    return os.environ.get("PDR_FUSED_ATTENTION", "0") == "1"
+
+
 class _SplitConcatGroupNorm(nn.Module):
     """PartialGroupNorm of ``concat([broadcast_K(q), k], -1)`` computed
     WITHOUT materializing the (B, M, K, C1+C2) concatenation.
@@ -159,12 +204,48 @@ class AttentionPool(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, feat, grouped_feat, grouped_feat_out, counts):
+    def __call__(self, feat, grouped_feat, grouped_feat_out, counts, fused=False):
         K = grouped_feat.shape[-2]
         c_out = self.out_features
         c1 = max(feat.shape[-1], 32)
         c2 = max(grouped_feat.shape[-1], 32)
         inter_c = min(c1 + c2, c_out)
+
+        # Fused Pallas path (inference only — no VJP): the whole
+        # score+softmax+weighted-sum chain runs tile-resident in VMEM
+        # (ops/pallas_attention.py) with a param tree identical to the XLA
+        # path below.  Only the shipped all-flags-true configuration is
+        # fused; anything else keeps the unfused path.
+        if (
+            fused
+            and self.dtype == jnp.bfloat16
+            and self.attention_bn
+            and self.transform_grouped_feat_out
+            and self.last_activation
+            and _fused_attention_enabled()
+        ):
+            from ..ops.pallas_attention import fused_attention_pool
+
+            normed0 = (c1 + c2) - (c1 + c2) % min(32, c1 + c2)
+            normed1 = inter_c - inter_c % min(32, inter_c)
+            normed2 = c_out - c_out % min(32, c_out)
+            w0, b0 = _DenseParams(feat.shape[-1], c1, name="Dense_0")()
+            w1, b1 = _DenseParams(grouped_feat.shape[-1], c2, name="Dense_1")()
+            s0, bb0 = _PGNParams(normed0, name="PartialGroupNorm_0")()
+            w2, b2 = _DenseParams(c1 + c2, inter_c, name="Dense_2")()
+            s1, bb1 = _PGNParams(normed1, name="PartialGroupNorm_1")()
+            w3, b3 = _DenseParams(inter_c, c_out, name="Dense_3")()
+            w4, b4 = _DenseParams(grouped_feat_out.shape[-1], c_out,
+                                  name="Dense_4")()
+            s2, bb2 = _PGNParams(normed2, name="PartialGroupNorm_2")()
+            cnt = None if isinstance(counts, str) else counts
+            return fused_attention_pool(
+                feat, grouped_feat, grouped_feat_out, cnt,
+                w0, b0, w1, b1, s0, bb0, w2, b2, s1, bb1, w3, b3,
+                w4, b4, s2, bb2,
+                c1=c1, c2=c2, inter_c=inter_c, c_out=c_out, K=K,
+                interpret=jax.default_backend() != "tpu",
+            )
 
         q = nn.Dense(c1, dtype=self.dtype, name="Dense_0")(feat)  # (B, M, C1)
         k = nn.Dense(c2, dtype=self.dtype, name="Dense_1")(grouped_feat)

@@ -103,6 +103,25 @@ class SetAbstraction(nn.Module):
             and self.npoint % 128 == 0
         )
 
+    def _train_windowed_eligible(self, xyz, features) -> bool:
+        """Opt-in (PDR_WINDOWED_TRAIN=1) differentiable windowed grouping for
+        the TRAIN step (ops/windowed_grad.py custom VJP — the backward is the
+        transposed one-hot scatter the reference implements with atomic adds,
+        group_points_gpu.cu:43-64)."""
+        import os
+
+        return (
+            os.environ.get("PDR_WINDOWED_TRAIN") == "1"
+            and self.neighbor_def == "radius"
+            and features is not None
+            and 8 + features.shape[-1] <= 128  # packed-table lane budget
+            and self.use_xyz
+            and self.include_abs_coordinate
+            and self.dtype is not None
+            and xyz.shape[1] >= 1024
+            and self.npoint % 128 == 0
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -118,7 +137,21 @@ class SetAbstraction(nn.Module):
         new_xyz = gather_points(xyz, fps_idx)  # (B, npoint, 3)
 
         qctx = None
-        if self._windowed_eligible(xyz, features, windowed):
+        if not windowed and self._train_windowed_eligible(xyz, features):
+            import jax
+
+            from ..ops.windowed_grad import (
+                _LightQueryOrder,
+                windowed_group_train,
+            )
+
+            grouped, counts, _idx, order, inv = windowed_group_train(
+                xyz, features, new_xyz, self.radius, self.nsample,
+                self.include_center_coordinate, "row0",
+                jax.default_backend() != "tpu",
+            )
+            qctx = _LightQueryOrder(order=order, inv_order=inv)
+        elif self._windowed_eligible(xyz, features, windowed):
             import jax
 
             from ..ops.pallas_window import (
@@ -190,7 +223,7 @@ class SetAbstraction(nn.Module):
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
                 dtype=self.dtype,
-            )(query, grouped, out, counts)
+            )(query, grouped, out, counts, fused=windowed)
         else:
             new_features = pool_features(out, counts, pooling)
         if qctx is not None:
@@ -439,7 +472,7 @@ class KnnFeaturePropagation(nn.Module):
                     transform_grouped_feat_out=self.attention_transform_out,
                     last_activation=self.attention_last_activation,
                     dtype=self.dtype,
-                )(unknown_feats, grouped, out1, "all")
+                )(unknown_feats, grouped, out1, "all", fused=windowed)
             else:
                 interpolated = pool_features(out1, "all", pooling)
         else:
@@ -594,7 +627,7 @@ class FeatureTransfer(nn.Module):
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
                 dtype=self.dtype,
-            )(query_feats, grouped, out, counts)
+            )(query_feats, grouped, out, counts, fused=fused)
         else:
             pooled = pool_features(out, counts, pooling)
         if pregrouped is not None:

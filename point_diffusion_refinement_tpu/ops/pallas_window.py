@@ -377,7 +377,29 @@ def _cumsum_lanes(x: jax.Array) -> jax.Array:
     return x
 
 
-def _window_kernel(radius, nsample, W, W2, feat_dims, out_cols,
+def _compact_width(W: int) -> int:
+    """Candidate-compaction width: a query tile's in-radius candidate UNION
+    is far smaller than the window that covers its key span, so the per-k
+    gather matmuls can contract over a compacted Wc-row table instead of W.
+
+    NEGATIVE RESULT on v5e at the shipped shapes (measured, do not re-enable
+    without re-measuring): OFF by default.  Building the (Wc, Wn) selection
+    one-hot is O(Wc*Wn) VPU work — the same area the rank matmul covers in
+    MXU MACs, but VPU element ops are ~10x costlier, so the preamble dwarfs
+    the gather savings: full step 5.18 -> 7.06/7.54/8.04 ms at
+    Wc=256/384/512 (FT-0 kernel 0.56 -> 1.82 ms).  Kept bit-parity-tested
+    (TestCandidateCompaction) because the math is exact and the trade flips
+    where gathers dominate harder (much larger N or wider K*CT).
+    PDR_COMPACT=1 enables; PDR_COMPACT_WC overrides the width (tests force
+    tiny Wc to exercise the in-kernel overflow fallback)."""
+    if os.environ.get("PDR_COMPACT", "0") != "1":
+        return 0
+    env = os.environ.get("PDR_COMPACT_WC")
+    wc = int(env) if env else 256
+    return wc if wc < W else 0
+
+
+def _window_kernel(radius, nsample, W, W2, Wc, feat_dims, out_cols,
                    include_center, empty_mode, starts_ref, sup_ref, q_ref,
                    tab_ref, sup_o_ref, tab_o_ref, row0_ref, out_ref, cnt_ref):
     """Grid (B, M/MT).  Per-tile mode from the prefetched scalar:
@@ -413,19 +435,60 @@ def _window_kernel(radius, nsample, W, W2, feat_dims, out_cols,
         cnt_ref[0, :, :] = jnp.broadcast_to(counts[:, None], (MT, 8))
         have = (counts > 0)[:, None]              # (MT, 1)
 
-        # window rows are key-sorted, not index-sorted: selection rank =
-        # number of in-radius candidates with smaller ORIGINAL index, one
-        # MXU matmul against the pairwise comparison matrix
-        orig_s = sup[:, 3][:, None]               # (Wn, 1)
-        orig_l = supT[3, :][None, :]              # (1, Wn)
-        L = jnp.where(orig_s < orig_l, 1.0, 0.0).astype(jnp.bfloat16)
-        mb = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
-        rank = jax.lax.dot_general(mb, L, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        out_ref[0, :, :] = _pack_slots(
-            nsample, feat_dims, out_cols, include_center, empty_mode,
-            qT, row0_ref, mask, rank, tab, counts, have,
-        )
+        def _rank_and_pack(mask_w, tab_w, orig_row):
+            # selection rank = number of in-radius candidates with smaller
+            # ORIGINAL index, one MXU matmul against the pairwise
+            # comparison matrix built from the (exact) index column
+            L = jnp.where(
+                orig_row[:, None] < orig_row[None, :], 1.0, 0.0
+            ).astype(jnp.bfloat16)
+            mb = jnp.where(mask_w, 1.0, 0.0).astype(jnp.bfloat16)
+            rank = jax.lax.dot_general(mb, L, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            out_ref[0, :, :] = _pack_slots(
+                nsample, feat_dims, out_cols, include_center, empty_mode,
+                qT, row0_ref, mask_w, rank, tab_w, counts, have,
+            )
+
+        if Wc and Wc < Wn:
+            # Candidate compaction: the tile's in-radius candidate UNION is
+            # usually far under Wn, so gather the <=Wc candidate table rows
+            # once (one-hot MXU matmul, exact) and run the rank + per-k
+            # gathers on the compacted width.  The mask is compacted by an
+            # exact 0/1 matmul — never recomputed from reconstructed
+            # positions, so selection is bit-identical to the full path.
+            tile_mask = jnp.any(mask, axis=0, keepdims=True)     # (1, Wn)
+            crank = _cumsum_lanes(tile_mask.astype(jnp.int32)) - 1
+            n_cand = jnp.sum(tile_mask.astype(jnp.int32))
+
+            @pl.when(n_cand <= Wc)
+            def _compact():
+                slot = jax.lax.broadcasted_iota(jnp.int32, (Wc, Wn), 0)
+                sel = jnp.where(
+                    (slot == crank) & tile_mask, 1.0, 0.0
+                ).astype(jnp.bfloat16)                           # (Wc, Wn)
+                tab_c = jax.lax.dot_general(
+                    sel, tab, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)                           # (Wc, CT)
+                mask_c = jax.lax.dot_general(
+                    jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16),
+                    jnp.transpose(sel),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) > 0.5                                          # (MT, Wc)
+                # orig index from the table's exact hi/lo channels; empty
+                # slots (all-zero rows) decode to 0 but their mask_c
+                # columns are zero, so they never contribute
+                orig_c = tab_c[:, 6].astype(jnp.float32) * 128.0 \
+                    + tab_c[:, 7].astype(jnp.float32)
+                _rank_and_pack(mask_c, tab_c, orig_c)
+
+            @pl.when(n_cand > Wc)
+            def _full():
+                _rank_and_pack(mask, tab, supT[3, :])
+        else:
+            _rank_and_pack(mask, tab, supT[3, :])
 
     @pl.when(s0 >= 0)
     def _narrow():
@@ -458,12 +521,12 @@ def _window_kernel(radius, nsample, W, W2, feat_dims, out_cols,
         )
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def _windowed_call(planes, table_sorted, q_sorted8, starts, planes_orig,
                    table_orig, row0,
                    radius: float, nsample: int, W: int, feat_dims: tuple,
                    include_center: bool = False, empty_mode: str = "center_zero",
-                   interpret: bool = False):
+                   interpret: bool = False, Wc: int = 0):
     B, Np, _ = planes.shape
     M = q_sorted8.shape[-2]
     MT = _row_tile(M)
@@ -473,8 +536,8 @@ def _windowed_call(planes, table_sorted, q_sorted8, starts, planes_orig,
     out_cols = _round_up(sum(fd + pos_cols for fd in feat_dims) + 2, 128)
     W2 = 2 * W if 2 * W < Np else W  # mid tier only when it beats the wide scan
     kernel = functools.partial(
-        _window_kernel, float(radius), nsample, W, W2, feat_dims, out_cols,
-        include_center, empty_mode,
+        _window_kernel, float(radius), nsample, W, W2, Wc,
+        feat_dims, out_cols, include_center, empty_mode,
     )
     grid = (B, M // MT)
     full_spec = pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
@@ -600,7 +663,7 @@ def windowed_ball_group(
         sup.planes, sup.table_sorted, q8, scal, sup.planes_orig,
         sup.table_orig, row0,
         float(radius), nsample, W, sup.feat_dims, include_center,
-        empty_mode, interpret,
+        empty_mode, interpret, _compact_width(W),
     )
     overflow = jnp.any(wide)
 

@@ -211,3 +211,18 @@ def load_reference_modules():
         "ref_pnet", f"{REF_POINTNET2}/models/pnet.py"
     )
     return pointnet2_utils, pointnet2_modules, attention, pnet
+
+
+def load_reference_model():
+    """Returns the reference's full PointNet2CloudCondition class
+    (pointnet2_with_pcld_condition.py:24-511), importable on CPU thanks to
+    the kernel stubs — the apex target for the torch<->flax parity suite."""
+    _install_stubs()
+    ref_root = "/root/reference"
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    from pointnet2.models.pointnet2_with_pcld_condition import (
+        PointNet2CloudCondition,
+    )
+
+    return PointNet2CloudCondition

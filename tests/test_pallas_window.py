@@ -375,3 +375,32 @@ class TestWindowedKnnGroup:
             np.asarray(got, np.float32)[..., :160],
             np.asarray(ref, np.float32)[..., :160], atol=2e-2, rtol=0,
         )
+
+
+class TestCandidateCompaction:
+    """The in-kernel candidate compaction (Wc) must be bit-identical to the
+    uncompacted path in BOTH branches (tile fits Wc / tile overflows Wc) —
+    the mask is compacted by an exact 0/1 matmul, never recomputed."""
+
+    def _outputs(self, clouds, monkeypatch, compact_wc):
+        if compact_wc is None:
+            monkeypatch.setenv("PDR_COMPACT", "0")
+        else:
+            monkeypatch.setenv("PDR_COMPACT", "1")
+            monkeypatch.setenv("PDR_COMPACT_WC", str(compact_wc))
+        xyz, q, fa, fb = clouds
+        _, _, res = _run(xyz, q, fa, fb, window=256)
+        return res
+
+    @pytest.mark.parametrize("wc", [128, 32])
+    def test_matches_uncompacted(self, clouds, monkeypatch, wc):
+        # wc=128 keeps most tiles on the compact branch; wc=32 forces many
+        # tiles through the in-kernel overflow fallback
+        ref = self._outputs(clouds, monkeypatch, None)
+        out = self._outputs(clouds, monkeypatch, wc)
+        np.testing.assert_array_equal(np.asarray(ref.idx), np.asarray(out.idx))
+        np.testing.assert_array_equal(
+            np.asarray(ref.counts), np.asarray(out.counts)
+        )
+        for a, b in zip(ref.grouped, out.grouped):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -103,26 +103,30 @@ def main():
     total = 0.0
     buckets: dict[str, float] = {}
     samples: dict[str, str] = {}
+    other_rows: list = []
     skip = re.compile(r"^(while|jit_run|PjitFunction|jit_encode)")
     for name, us, cnt in rows:
         base = name.split(" :: ")[0]
         if skip.match(base):
             continue
         scope = op_scope.get(base, "")
-        if "pallas" in base or "_windowed_call" in base:
+        if "pallas" in base or "_windowed_call" in base or "attention_pool" in base or "_kernel" in base:
             key_name = base.split(".")[0]
         else:
             m = pat.findall(scope)
             key_name = "/".join(m[-2:]) if m else "(other)"
         total += us
         buckets[key_name] = buckets.get(key_name, 0.0) + us
+        if key_name == "(other)":
+            other_rows.append((us, base, scope[:170]))
         if key_name not in samples or "(other)" == key_name:
             samples.setdefault(key_name, f"{base} :: {scope[:160]}")
     print(f"total captured {total/1000:.1f} ms over {STEPS} steps")
     for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])[:48]:
         print(f"  {v/1000:9.2f} ms  {v/STEPS:8.1f} us/step  {k}")
-    print("\nsample for '(other)':")
-    print(" ", samples.get("(other)", "-"))
+    print("\ntop '(other)' ops:")
+    for us, base, scope in sorted(other_rows, reverse=True)[:25]:
+        print(f"  {us/1e3:8.2f} ms  {base} :: {scope}")
 
 
 if __name__ == "__main__":
