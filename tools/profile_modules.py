@@ -104,6 +104,8 @@ def main():
     buckets: dict[str, float] = {}
     samples: dict[str, str] = {}
     other_rows: list = []
+    detail = os.environ.get("PDR_PROFILE_DETAIL")  # regex over bucket names
+    detail_rows: list = []
     skip = re.compile(r"^(while|jit_run|PjitFunction|jit_encode)")
     for name, us, cnt in rows:
         base = name.split(" :: ")[0]
@@ -119,6 +121,8 @@ def main():
         buckets[key_name] = buckets.get(key_name, 0.0) + us
         if key_name == "(other)":
             other_rows.append((us, base, scope[:170]))
+        if detail and re.search(detail, key_name):
+            detail_rows.append((us, base, scope[:200]))
         if key_name not in samples or "(other)" == key_name:
             samples.setdefault(key_name, f"{base} :: {scope[:160]}")
     print(f"total captured {total/1000:.1f} ms over {STEPS} steps")
@@ -127,6 +131,10 @@ def main():
     print("\ntop '(other)' ops:")
     for us, base, scope in sorted(other_rows, reverse=True)[:25]:
         print(f"  {us/1e3:8.2f} ms  {base} :: {scope}")
+    if detail:
+        print(f"\ntop ops in buckets matching {detail!r}:")
+        for us, base, scope in sorted(detail_rows, reverse=True)[:40]:
+            print(f"  {us/1e3:8.2f} ms  {base} :: {scope}")
 
 
 if __name__ == "__main__":
