@@ -455,7 +455,7 @@ class PointNet2CloudCondition(nn.Module):
 
         ft_sups = ()
         if windowed_ft and self.include_local_feature:
-            from ..ops.pallas_window import build_support_ctx
+            from ..ops.pallas_window import build_support_ctx_auto
 
             sups = []
             for i in range(len(self.encoder_feature_map)):
@@ -466,7 +466,7 @@ class PointNet2CloudCondition(nn.Module):
                     and decoder_feats[i] is not None
                     and l_uvw[i].shape[1] >= 1024
                 ):
-                    sup = build_support_ctx(
+                    sup = build_support_ctx_auto(
                         l_uvw[i], [encoder_feats[i], decoder_feats[i]]
                     )
                 sups.append(sup)

@@ -156,11 +156,11 @@ class SetAbstraction(nn.Module):
 
             from ..ops.pallas_window import (
                 build_query_ctx,
-                build_support_ctx,
+                build_support_ctx_auto,
                 windowed_ball_group,
             )
 
-            sup = build_support_ctx(xyz, [features])
+            sup = build_support_ctx_auto(xyz, [features])
             if sup is not None:
                 qctx = build_query_ctx(new_xyz, sup.axis_onehot)
                 wg = windowed_ball_group(

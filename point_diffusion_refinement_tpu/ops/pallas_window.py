@@ -618,7 +618,16 @@ def windowed_ball_group(
     Tiles whose true candidate span exceeds the window run the full-support
     wide mode inside the same kernel launch (see module docstring) — the
     result is exact for every tile, with no whole-call escalation.
+
+    Accepts either support orientation: a SupportCtxT routes to the
+    transposed kernel (same values, M-minor outputs).
     """
+    if isinstance(sup, SupportCtxT):
+        return windowed_ball_group_t(
+            sup, q, radius, nsample, window=window,
+            include_center=include_center, empty_mode=empty_mode,
+            interpret=interpret,
+        )
     B, Np, _ = sup.planes.shape
     M = q.xyz_sorted.shape[1]
     W = window if window is not None else default_window(sup.n)
@@ -678,6 +687,381 @@ def windowed_ball_group(
     idx = ihi * 128 + ilo
     return WindowedGroups(
         grouped=tuple(used), counts=counts, idx=idx, fell_back=overflow
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transposed windowed ball grouping (queries on LANES)
+# ---------------------------------------------------------------------------
+#
+# The kernel above emits (B, M, K*out_cols) with each slot's gathered row
+# padded to 128 LANES (out_cols >= 128): every per-slot gather matmul
+# (MT, Wn) @ (Wn, CT) pays the MXU for 128 output lanes while only ~44 are
+# real, the packed output is 2-3x larger than its payload, and XLA then
+# relayout-copies the whole thing because every downstream fusion holds the
+# big (B, M, K, C) tensors M-minor (M=2048 tiles cleanly; C=32-50 pads).
+#
+# The transposed formulation puts QUERIES on the lane axis end to end:
+#
+#   * distances, mask, rank are (Wn, MT) — candidates on sublanes;
+#   * the rank matmul is L^T @ mask^T (same MACs as before);
+#   * each per-slot gather is  tab^T (CT, Wn) @ onehot^T (Wn, MT) — the MXU
+#     streams CT~44 rows instead of 128 padded lanes (~2.7x fewer cycles)
+#     and the MT=128 output lanes are fully used;
+#   * the output block is (K*out_sub, MT): M-minor, exactly the physical
+#     layout XLA wants, so the downstream transpose-to-(B, M, K, C) is
+#     layout-only and the 64 MB relayout copies disappear.
+#
+# Shares the host-side tier logic (W -> 2W -> exact full-support scan) and
+# produces bit-identical values to `windowed_ball_group` (same selection
+# math, same bf16 roundings) — asserted in tests/test_pallas_window.py.
+
+
+class SupportCtxT(NamedTuple):
+    """Sorted-support context for the transposed kernel.  Tables are stored
+    channel-major (B, CT, Np) so the in-kernel window slice is a 128-aligned
+    LANE slice and the gather matmul needs no transposes."""
+
+    axis_onehot: jax.Array    # (B, 3) f32
+    keys: jax.Array           # (B, N) f32 sorted keys
+    planes: jax.Array         # (B, Np, 8) f32 sorted rows (window columns)
+    planes_row: jax.Array     # (B, 8, Np) f32 sorted, row-major planes
+    table_t: jax.Array        # (B, CT, Np) bf16 sorted, channel-major
+    planes_orig: jax.Array    # (B, Np, 8) f32 original order
+    planes_orig_row: jax.Array  # (B, 8, Np) f32 original order
+    table_orig_t: jax.Array   # (B, CT, Np) bf16 original order
+    row0: jax.Array           # (B, CT, 128) bf16 — support row 0, lane-bcast
+    feat_dims: tuple          # static
+    n: int                    # static
+
+
+jax.tree_util.register_pytree_node(
+    SupportCtxT,
+    lambda s: (tuple(s[:9]), (s.feat_dims, s.n)),
+    lambda aux, ch: SupportCtxT(*ch, feat_dims=aux[0], n=aux[1]),
+)
+
+
+def transposed_enabled() -> bool:
+    """PDR_WINDOWED_T=0 disables the transposed kernel (default on)."""
+    return os.environ.get("PDR_WINDOWED_T", "1") != "0"
+
+
+def build_support_ctx_auto(
+    xyz: jax.Array, features: Sequence[jax.Array], max_ct: int = 128
+):
+    """Build the support context in whichever orientation is enabled.
+    The transposed kernel needs M % 128 == 0 on every query cloud — callers
+    that cannot guarantee it should pass PDR_WINDOWED_T=0 or call the
+    explicit builders."""
+    if transposed_enabled():
+        return build_support_ctx_t(xyz, features, max_ct=max_ct)
+    return build_support_ctx(xyz, features, max_ct=max_ct)
+
+
+def build_support_ctx_t(
+    xyz: jax.Array, features: Sequence[jax.Array], max_ct: int = 128
+) -> Optional[SupportCtxT]:
+    """Transposed-orientation twin of `build_support_ctx`."""
+    sup = build_support_ctx(xyz, features, max_ct=max_ct)
+    if sup is None:
+        return None
+    return SupportCtxT(
+        axis_onehot=sup.axis_onehot,
+        keys=sup.keys,
+        planes=sup.planes,
+        planes_row=jnp.swapaxes(sup.planes, 1, 2),
+        table_t=jnp.swapaxes(sup.table_sorted, 1, 2),
+        planes_orig=sup.planes_orig,
+        planes_orig_row=jnp.swapaxes(sup.planes_orig, 1, 2),
+        table_orig_t=jnp.swapaxes(sup.table_orig, 1, 2),
+        row0=jnp.broadcast_to(
+            sup.table_orig[:, :1, :].swapaxes(1, 2),
+            (xyz.shape[0], sup.table_orig.shape[-1], 128),
+        ),
+        feat_dims=sup.feat_dims,
+        n=sup.n,
+    )
+
+
+def _seg_widths(feat_dims, pos_cols):
+    """Per-table sublane segment widths (8-aligned so downstream channel
+    slices hit aligned sublane offsets) and the per-slot total, padded so
+    (B, K*out_sub, M) -> (B, K, out_sub, M) stays a pure bitcast under the
+    (16, 128) bf16 tiling."""
+    segs = tuple(_round_up(fd + pos_cols, 8) for fd in feat_dims)
+    out_sub = _round_up(sum(segs) + 2, 16)  # +2: orig-index hi/lo sublanes
+    return segs, out_sub
+
+
+def _cumsum_sub(x: jax.Array) -> jax.Array:
+    """Inclusive SUBLANE-axis cumulative sum via log-shift adds."""
+    n = x.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, s, axis=0)
+        x = x + jnp.where(sub >= s, shifted, 0)
+        s *= 2
+    return x
+
+
+def _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
+                  empty_mode, q, row0, mask, rank, tab, counts, have,
+                  out_ref):
+    """Transposed per-k gather + channel packing.
+
+    mask/rank: (Wn, MT) over candidates; tab: (CT, Wn) bf16; q: (8, MT) f32;
+    counts/have: (1, MT).  Writes each slot's (out_sub, MT) block straight
+    into out_ref (16-aligned sublane offsets)."""
+    rank_m = jnp.where(mask, rank, jnp.asarray(-1.0, rank.dtype))
+    qpos = q[0:3, :]
+    centerb = qpos.astype(jnp.bfloat16)
+    g0 = None
+    for k in range(nsample):
+        s = jnp.where(rank_m == k, 1.0, 0.0).astype(jnp.bfloat16)  # (Wn, MT)
+        g = jax.lax.dot_general(tab, s, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (CT, MT)
+        if g0 is None:
+            g0 = g
+        else:
+            g = jnp.where((k < counts), g, g0)  # repeat-first padding
+        if empty_mode == "row0":
+            g = jnp.where(have, g, row0.astype(jnp.float32))
+        absx = g[0:3, :] + g[3:6, :]
+        if empty_mode == "center_zero":
+            absx = jnp.where(have, absx, qpos)
+        rel = absx - qpos
+        relb = rel.astype(jnp.bfloat16)
+        absb = absx.astype(jnp.bfloat16)
+        cols = []
+        zeros1 = None
+        off_t = 8
+        for fd, seg in zip(feat_dims, segs):
+            cols.append(g[off_t:off_t + fd, :].astype(jnp.bfloat16))
+            cols.append(relb)
+            cols.append(absb)
+            used = fd + 6
+            if include_center:
+                cols.append(centerb)
+                used += 3
+            if used < seg:
+                cols.append(jnp.zeros((seg - used, g.shape[1]), jnp.bfloat16))
+            off_t += fd
+        cols.append(g[6:8, :].astype(jnp.bfloat16))  # orig idx hi/lo
+        tail = out_sub - (sum(segs) + 2)
+        if tail:
+            if zeros1 is None:
+                zeros1 = jnp.zeros((tail, g.shape[1]), jnp.bfloat16)
+            cols.append(zeros1)
+        out_ref[0, k * out_sub:(k + 1) * out_sub, :] = jnp.concatenate(
+            cols, axis=0
+        )
+
+
+def _window_kernel_t(radius, nsample, W, W2, feat_dims, segs, out_sub,
+                     include_center, empty_mode, starts_ref, sup_ref,
+                     prow_ref, q_ref, tab_ref, sup_o_ref, prow_o_ref,
+                     tab_o_ref, row0_ref, out_ref, cnt_ref):
+    """Grid (B, M/MT), MT = 128 query LANES.  Same per-tile tier protocol as
+    `_window_kernel` (start >= 0 narrow W; start <= -2 mid 2W; -1 wide)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    s0 = starts_ref[b, t]
+    q = q_ref[0]                               # (8, MT) f32
+    r2 = jnp.float32(radius * radius)
+
+    def _mask_counts(sup_cols, MT):
+        d = None
+        for c in range(3):
+            diff = sup_cols[:, c:c + 1] - q[c:c + 1, :]   # (Wn, MT)
+            d = diff * diff if d is None else d + diff * diff
+        mask = d < r2
+        counts = jnp.minimum(
+            jnp.sum(mask.astype(jnp.int32), axis=0, keepdims=True), nsample
+        )                                      # (1, MT)
+        cnt_ref[0, :, :] = jnp.broadcast_to(counts, (8, MT))
+        return mask, counts
+
+    def _sorted_tile(start, Wn):
+        start = pl.multiple_of(start, 128)
+        sup = sup_ref[0, pl.ds(start, Wn), :]           # (Wn, 8) f32
+        tab = tab_ref[0, :, pl.ds(start, Wn)]           # (CT, Wn) bf16
+        orow = prow_ref[0, 3:4, pl.ds(start, Wn)]       # (1, Wn) f32
+        mask, counts = _mask_counts(sup, q.shape[1])
+        have = counts > 0                               # (1, MT)
+        # selection rank transposed: rank^T = L^T @ mask^T, with
+        # L^T[w, w'] = [orig(w') < orig(w)]
+        ocol = sup[:, 3:4]                              # (Wn, 1)
+        lt = jnp.where(ocol > orow, 1.0, 0.0).astype(jnp.bfloat16)
+        mb = jnp.where(mask, 1.0, 0.0).astype(jnp.bfloat16)
+        rank = jax.lax.dot_general(lt, mb, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
+                      empty_mode, q, row0_ref[0], mask, rank, tab, counts,
+                      have, out_ref)
+
+    @pl.when(s0 >= 0)
+    def _narrow():
+        _sorted_tile(jnp.maximum(s0, 0), W)
+
+    if W2 > W:
+        @pl.when(s0 <= -2)
+        def _mid():
+            _sorted_tile(jnp.maximum(-(s0 + 2), 0), W2)
+
+    @pl.when(s0 == -1)
+    def _wide():
+        sup = sup_o_ref[0]                              # (Np, 8) orig order
+        tab = tab_o_ref[0]                              # (CT, Np)
+        mask, counts = _mask_counts(sup, q.shape[1])
+        have = counts > 0
+        rank = (_cumsum_sub(mask.astype(jnp.int32)) - 1).astype(jnp.float32)
+        _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
+                      empty_mode, q, row0_ref[0], mask, rank, tab, counts,
+                      have, out_ref)
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+def _windowed_call_t(planes, planes_row, table_t, qT8, starts, planes_orig,
+                     planes_orig_row, table_orig_t, row0,
+                     radius: float, nsample: int, W: int, feat_dims: tuple,
+                     include_center: bool = False,
+                     empty_mode: str = "center_zero",
+                     interpret: bool = False):
+    B, Np, _ = planes.shape
+    M = qT8.shape[-1]
+    MT = 128
+    assert M % MT == 0, (M, MT)
+    CT = table_t.shape[1]
+    pos_cols = 9 if include_center else 6
+    segs, out_sub = _seg_widths(feat_dims, pos_cols)
+    W2 = 2 * W if 2 * W < Np else W
+    kernel = functools.partial(
+        _window_kernel_t, float(radius), nsample, W, W2,
+        feat_dims, segs, out_sub, include_center, empty_mode,
+    )
+    grid = (B, M // MT)
+    full_spec = pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 8, Np), lambda b, t, s: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, CT, Np), lambda b, t, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                full_spec,
+                row_spec,
+                pl.BlockSpec((1, 8, MT), lambda b, t, s: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                table_spec,
+                full_spec,
+                row_spec,
+                table_spec,
+                pl.BlockSpec((1, CT, 128), lambda b, t, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nsample * out_sub, MT),
+                             lambda b, t, s: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, MT), lambda b, t, s: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nsample * out_sub, M), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, 8, M), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, planes, planes_row, qT8, table_t, planes_orig,
+      planes_orig_row, table_orig_t, row0)
+    return out, cnt[:, 0, :]
+
+
+def _tier_starts(sup_keys, q_keys, radius, W, Np, M, MT):
+    """Host-side per-tile tier decision shared by both kernel orientations:
+    returns (scal (B, Tn) i32, wide (B, Tn) bool)."""
+    Tn = M // MT
+    tiles = q_keys.reshape(-1, Tn, MT)
+    lo = tiles.min(-1) - radius
+    hi = tiles.max(-1) + radius
+    raw = jax.vmap(lambda k, l: jnp.searchsorted(k, l))(sup_keys, lo)
+    ends = jax.vmap(lambda k, h: jnp.searchsorted(k, h, side="right"))(
+        sup_keys, hi
+    )
+    a128 = ((raw // 128) * 128).astype(jnp.int32)
+    starts_w = jnp.clip(a128, 0, max(Np - W, 0))
+    if W >= Np:
+        return starts_w, jnp.zeros(starts_w.shape, bool)
+    over_w = ends > starts_w + W
+    W2 = 2 * W if 2 * W < Np else W
+    if W2 > W:
+        starts_m = jnp.clip(a128, 0, max(Np - W2, 0))
+        wide = over_w & (ends > starts_m + W2)
+        scal = jnp.where(
+            wide, jnp.int32(-1),
+            jnp.where(over_w, -(starts_m + 2), starts_w),
+        )
+    else:
+        wide = over_w
+        scal = jnp.where(wide, jnp.int32(-1), starts_w)
+    return scal, wide
+
+
+def windowed_ball_group_t(
+    sup: SupportCtxT,
+    q: QueryCtx,
+    radius: float,
+    nsample: int,
+    window: Optional[int] = None,
+    include_center: bool = False,
+    empty_mode: str = "center_zero",
+    interpret: bool = False,
+) -> WindowedGroups:
+    """Transposed-orientation `windowed_ball_group`: identical contract and
+    values, M-minor outputs with no relayout copy."""
+    B, Np, _ = sup.planes.shape
+    M = q.xyz_sorted.shape[1]
+    assert M % 128 == 0, M
+    W = window if window is not None else default_window(sup.n)
+    W = min(W, Np)
+    scal, wide = _tier_starts(sup.keys, q.keys, radius, W, Np, M, 128)
+
+    qT8 = jnp.concatenate(
+        [jnp.swapaxes(q.xyz_sorted, 1, 2), jnp.zeros((B, 5, M), jnp.float32)],
+        axis=1,
+    )  # (B, 8, M)
+
+    out, counts = _windowed_call_t(
+        sup.planes, sup.planes_row, sup.table_t, qT8, scal,
+        sup.planes_orig, sup.planes_orig_row, sup.table_orig_t, sup.row0,
+        float(radius), nsample, W, sup.feat_dims, include_center,
+        empty_mode, interpret,
+    )
+    pos_cols = 9 if include_center else 6
+    segs, out_sub = _seg_widths(sup.feat_dims, pos_cols)
+    out4 = out.reshape(B, nsample, out_sub, M)  # bitcast (out_sub % 16 == 0)
+    used = []
+    off = 0
+    for fd, seg in zip(sup.feat_dims, segs):
+        # (B, K, C, M) -> logical (B, M, K, C); physically M-minor already,
+        # so XLA assigns the {1,3,2,0} layout and the transpose is free
+        used.append(
+            jnp.transpose(out4[:, :, off:off + fd + pos_cols, :], (0, 3, 1, 2))
+        )
+        off += seg
+    ihi = out4[:, :, sum(segs), :].astype(jnp.int32)      # (B, K, M)
+    ilo = out4[:, :, sum(segs) + 1, :].astype(jnp.int32)
+    idx = jnp.transpose(ihi * 128 + ilo, (0, 2, 1))
+    return WindowedGroups(
+        grouped=tuple(used), counts=counts, idx=idx,
+        fell_back=jnp.any(wide),
     )
 
 

@@ -115,10 +115,20 @@ def _group_points_onehot(points: jax.Array, idx: jax.Array, lossy: bool = False)
     N = points.shape[1]
     oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16)  # (B, M, K, N), fused
     hi = points.astype(jnp.bfloat16)
-    out = jnp.einsum("bmkn,bnc->bmkc", oh, hi, preferred_element_type=jnp.float32)
     if lossy:
-        # rows feed bf16 compute anyway: one matmul, bf16-rounded values
-        return out
+        # rows feed bf16 compute anyway: one matmul, bf16-rounded values.
+        # bf16 OUTPUT dtype: a one-hot contraction has a single nonzero
+        # product per output element, so the bf16 result is bit-identical
+        # to rounding the f32 result — and XLA then never materializes an
+        # f32 copy of the (B, M, K, C) tensor (measured 43 MB/step of extra
+        # HBM traffic at the FP-0 shapes).  The MXU still accumulates in
+        # f32 internally; the VJP's transposed contraction rounds its final
+        # per-row sum to bf16 once (grads flow onward through the caller's
+        # f32 upcast).
+        return jnp.einsum(
+            "bmkn,bnc->bmkc", oh, hi, preferred_element_type=jnp.bfloat16
+        )
+    out = jnp.einsum("bmkn,bnc->bmkc", oh, hi, preferred_element_type=jnp.float32)
     lo = (points - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return out + jnp.einsum(
         "bmkn,bnc->bmkc", oh, lo, preferred_element_type=jnp.float32
@@ -167,10 +177,17 @@ def group_points_with_xyz(
         table = jnp.concatenate(
             [xhi, xlo, features.astype(jnp.bfloat16)], axis=-1
         )
+        # bf16 output: exact for a one-hot contraction (single product per
+        # element), and it stops XLA from materializing an f32 copy of the
+        # whole (B, M, K, 6+C) tensor next to the bf16 one.  Positions
+        # reconstruct in f32 from the exactly-gathered hi/lo halves.
         out = jnp.einsum(
-            "bmkn,bnc->bmkc", oh, table, preferred_element_type=jnp.float32
+            "bmkn,bnc->bmkc", oh, table, preferred_element_type=jnp.bfloat16
         )
-        return out[..., 0:3] + out[..., 3:6], out[..., 6:]
+        abs_xyz = out[..., 0:3].astype(jnp.float32) + out[..., 3:6].astype(
+            jnp.float32
+        )
+        return abs_xyz, out[..., 6:]
     fhi = features.astype(jnp.bfloat16)
     flo = (features.astype(jnp.float32) - fhi.astype(jnp.float32)).astype(
         jnp.bfloat16
