@@ -133,6 +133,27 @@ class _SplitConcatGroupNorm(nn.Module):
         add = bias[None] - jnp.repeat(mean, gs, axis=-1) * mul
 
         nq = min(c1, normed_c)  # q channels that are normalized (all, in practice)
+        if self.dtype is not None and q.dtype == self.dtype == k.dtype:
+            # bf16 compute: apply the affine in the compute dtype directly on
+            # the original tensors.  The f32 path below makes the big (B, M,
+            # K, C2) activation a TWO-consumer f32 value (stats reduce +
+            # affine), so XLA materializes a full f32 copy of it in HBM
+            # (measured as dual (f32, bf16) fusion outputs, ~43 MB per large
+            # attention instance per step); with a bf16 affine the f32
+            # conversion only feeds the reduces and fuses away.  Values
+            # differ from the f32 affine by <=1 ulp bf16 — within the bf16
+            # path's own rounding envelope.
+            d = self.dtype
+            qn = q[..., :nq] * mul[:, None, :nq].astype(d) \
+                + add[:, None, :nq].astype(d)
+            if nq < c1:
+                qn = jnp.concatenate([qn, q[..., nq:]], axis=-1)
+            nk = normed_c - nq
+            kn = k[..., :nk] * mul[:, None, None, nq:].astype(d) \
+                + add[:, None, None, nq:].astype(d)
+            if nk < c2:
+                kn = jnp.concatenate([kn, k[..., nk:]], axis=-1)
+            return qn, kn
         qn = xq[..., :nq] * mul[:, None, :nq] + add[:, None, :nq]
         if nq < c1:
             qn = jnp.concatenate([qn, xq[..., nq:]], axis=-1)
@@ -281,6 +302,16 @@ class AttentionPool(nn.Module):
                         name="PartialGroupNorm_2",
                     )(v)
                 v = jnp.maximum(v, 0.0)
+        if self.dtype is not None and v.dtype == self.dtype:
+            # bf16 compute: round the softmax weights to the compute dtype
+            # (halving the HBM bytes of the (B, M, K, C_out) weight tensor
+            # and keeping the v*weight product pass bf16) but ACCUMULATE the
+            # K-axis sum in f32 inside the reduce fusion — the convex
+            # combination keeps full f32 precision where it matters.
+            w = weight.astype(self.dtype)
+            return jnp.sum(
+                v * w, axis=-2, dtype=jnp.float32
+            ).astype(self.dtype)
         return jnp.sum(v * weight, axis=-2)  # (B, M, C_out)
 
 

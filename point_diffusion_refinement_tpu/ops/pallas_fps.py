@@ -72,6 +72,128 @@ def _fps_kernel_stacked(npoint: int, xyz_ref, idx_ref, mind_ref):
     jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
 
 
+def _fps_kernel_folded(npoint: int, fold: int, xyz_ref, idx_ref, mind_ref):
+    """`_fps_kernel` with each batch row's N lanes folded across `fold`
+    sublane copies: (B, N) -> (B*fold, N/fold), rows h*B..h*B+B-1 holding
+    lane span [h*Nh, (h+1)*Nh).  At B < 8 the unfolded kernel leaves most
+    of every vreg's 8 sublanes idle; folding packs them, halving (fold=2)
+    the VPU passes of every per-iteration sweep.  Cross-fold combines are
+    a log2(fold) butterfly of cyclic row-shifts on tiny (B*fold,) lane
+    vectors.  The fold happens IN-KERNEL on values (a one-time lane
+    re-slice in VMEM) and the idx output stays (npoint, B) — the XLA-side
+    (3,B,N)->(3,2B,N/2) relayout and strided idx slice that sank the
+    round-2 attempt (STATUS.md) never exist.  Selection semantics are
+    bit-identical: global lane index = row_half*Nh + lane, ties still
+    resolve to the lowest global index."""
+    _, B, N = xyz_ref.shape
+    F = B * fold
+    Nh = N // fold
+
+    def fold_rows(plane):  # (B, N) -> (F, Nh)
+        return jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(plane, h * Nh, (h + 1) * Nh, axis=1)
+                for h in range(fold)
+            ],
+            axis=0,
+        )
+
+    x = fold_rows(xyz_ref[0])
+    y = fold_rows(xyz_ref[1])
+    z = fold_rows(xyz_ref[2])
+    valid = (x * x + y * y + z * z) > PAD_NORM_SQ  # (F, Nh)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (F, Nh), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (F, Nh), 0)
+    offs = (row // B) * Nh          # per-row global-lane offset
+    glane = lane + offs             # global point index of each slot
+
+    neg_inf = jnp.float32(-1e30)
+
+    def fold_max_combine(cols):
+        # elementwise-max butterfly over the fold copies of each row: `cols`
+        # is a tiny (F, k) column pack (ONE vreg), each exchange one sublane
+        # roll + max.  (Mosaic has no 1-D vector ops; rolling the (F, Nh)
+        # arrays would cost whole extra passes.)
+        s = B
+        while s < F:
+            cols = jnp.maximum(cols, pltpu.roll(cols, F - s, axis=0))
+            s *= 2
+        return cols
+
+    def local_select(cand):
+        """Per-FOLD-ROW argmax of cand with lowest-global-index tie-break,
+        plus the coordinates at that slot.  Everything is row-local ((F,)
+        reduces + lane-vector broadcasts, the forms the unfolded kernel
+        measured fastest) — the cross-fold resolution happens afterwards in
+        ONE lexicographic butterfly, so each iteration pays a single
+        roll-combine latency instead of three serialized ones (three
+        combines measured 0.67 us/iter vs 0.42 unfolded)."""
+        val = jnp.max(cand, axis=1)  # (F,)
+        hit = cand == val[:, None]
+        lidx = jnp.min(jnp.where(hit, glane, N), axis=1).astype(jnp.int32)
+        oh = glane == lidx[:, None]
+        lx = jnp.max(jnp.where(oh, x, neg_inf), axis=1)
+        ly = jnp.max(jnp.where(oh, y, neg_inf), axis=1)
+        lz = jnp.max(jnp.where(oh, z, neg_inf), axis=1)
+        return jnp.concatenate(
+            [
+                val[:, None],
+                lidx.astype(jnp.float32)[:, None],  # exact: idx < 2^24
+                lx[:, None], ly[:, None], lz[:, None],
+            ],
+            axis=1,
+        )  # (F, 5)
+
+    def lex_combine(pack):
+        # cross-fold argmax by (value desc, index asc): one roll per stage
+        s = B
+        while s < F:
+            r = pltpu.roll(pack, F - s, axis=0)
+            take = (r[:, 0:1] > pack[:, 0:1]) | (
+                (r[:, 0:1] == pack[:, 0:1]) & (r[:, 1:2] < pack[:, 1:2])
+            )
+            pack = jnp.where(take, r, pack)
+            s *= 2
+        return pack
+
+    mind_ref[:, :] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
+    idx_ref[0, :] = jnp.zeros((B,), jnp.int32)
+
+    # selection 0 is global index 0: extract its coordinates (owner fold row
+    # holds them, others -inf; elementwise-max butterfly resolves)
+    oh0 = glane == 0
+    pack0 = fold_max_combine(
+        jnp.concatenate(
+            [
+                jnp.zeros((F, 2), jnp.float32),
+                jnp.max(jnp.where(oh0, x, neg_inf), axis=1)[:, None],
+                jnp.max(jnp.where(oh0, y, neg_inf), axis=1)[:, None],
+                jnp.max(jnp.where(oh0, z, neg_inf), axis=1)[:, None],
+            ],
+            axis=1,
+        )
+    )
+
+    def body(j, pack):
+        # pack: (F, 5) fold-combined [val, idx, sel_x, sel_y, sel_z] of the
+        # previous selection
+        sel_x = jnp.max(pack[:, 2:3], axis=1)  # (F,) lane vectors
+        sel_y = jnp.max(pack[:, 3:4], axis=1)
+        sel_z = jnp.max(pack[:, 4:5], axis=1)
+        dx = x - sel_x[:, None]
+        dy = y - sel_y[:, None]
+        dz = z - sel_z[:, None]
+        d = dx * dx + dy * dy + dz * dz
+        cand = jnp.minimum(mind_ref[:, :], d)
+        mind_ref[:, :] = cand
+        new_pack = lex_combine(local_select(cand))
+        new = jnp.min(new_pack[:, 1:2], axis=1).astype(jnp.int32)  # (F,)
+        idx_ref[pl.ds(j, 1), :] = jax.lax.slice_in_dim(new, 0, B)[None, :]
+        return new_pack
+
+    jax.lax.fori_loop(1, npoint, body, pack0)
+
+
 def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
     # xyz_ref: (3, B, N) f32; idx_ref: (npoint, B) i32 (row-major per
     # iteration so the dynamic store is a full (1, B) sublane row — Mosaic
@@ -160,23 +282,54 @@ def furthest_point_sample_pallas(
 _FPS_STACKED = os.environ.get("PDR_FPS_STACKED", "0") != "0"
 
 
+def _fps_fold(B: int, N: int) -> int:
+    """Largest sublane fold: B*fold <= 8 with a 128-multiple folded lane
+    span (Mosaic lane slices of the fold are then tile-aligned).
+
+    OPT-IN (PDR_FPS_FOLD=1) — measured NEGATIVE on v5e at the shipped
+    shapes: the per-iteration cost is ~85% fixed latency (loop control +
+    reduce chain + dynamic idx store: 0.37 us/iter at (4,1024) vs 0.42 at
+    (4,2048) on the unfolded kernel), so halving the vector passes saves
+    almost nothing and the cross-fold combine adds to the dependency chain
+    (3-combine variant 0.67 us/iter, single lex-combine 0.63).  Kept
+    bit-parity-tested for future large-N/smaller-B shapes where vector
+    work dominates."""
+    if not _FPS_FOLD_ENABLED:
+        return 1
+    fold = 1
+    while B * fold * 2 <= 8 and N % (fold * 2 * 128) == 0:
+        fold *= 2
+    return fold
+
+
+# read at import like _FPS_STACKED (call-time reads are trace-captured)
+_FPS_FOLD_ENABLED = os.environ.get("PDR_FPS_FOLD", "0") != "0"
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _fps_pallas_impl(
     xyz: jax.Array, npoint: int, interpret: bool, stacked: bool
 ) -> jax.Array:
     B, N, _ = xyz.shape
     Bt = min(B, fps_batch_tile(B, N, stacked))
-    kernel = functools.partial(
-        _fps_kernel_stacked if stacked else _fps_kernel, npoint
-    )
+    fold = 1 if stacked else _fps_fold(Bt, N)
+    if fold > 1:
+        kernel = functools.partial(_fps_kernel_folded, npoint, fold)
+    else:
+        kernel = functools.partial(
+            _fps_kernel_stacked if stacked else _fps_kernel, npoint
+        )
 
     def run_chunk(planes_chunk):
+        bc = planes_chunk.shape[1]
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((npoint, planes_chunk.shape[1]), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((npoint, bc), jnp.int32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((planes_chunk.shape[1], N), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((bc * fold, N // fold), jnp.float32)
+            ],
             interpret=interpret,
         )(planes_chunk)
 

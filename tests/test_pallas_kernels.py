@@ -243,3 +243,47 @@ class TestFusedBallQueryGather:
         np.testing.assert_allclose(
             np.asarray(g_fused), np.asarray(g_ref), rtol=2e-2, atol=2e-2
         )
+
+
+class TestPallasFPSFolded:
+    """Sublane-folded FPS ((B, N) -> (B*fold, N/fold)): bit-parity with the
+    XLA reference at fold-eligible shapes, including ties and padding.
+    Opt-in (PDR_FPS_FOLD; measured negative at the shipped shapes — see
+    _fps_fold) so the flag is forced on here."""
+
+    @pytest.fixture(autouse=True)
+    def _enable_fold(self, monkeypatch):
+        from point_diffusion_refinement_tpu.ops import pallas_fps
+
+        monkeypatch.setattr(pallas_fps, "_FPS_FOLD_ENABLED", True)
+        pallas_fps._fps_pallas_impl.clear_cache()
+        yield
+        pallas_fps._fps_pallas_impl.clear_cache()
+
+    @pytest.mark.parametrize("B,N,npoint", [(4, 256, 32), (2, 512, 64), (1, 1024, 64)])
+    def test_fold_parity(self, rng_np, B, N, npoint):
+        from point_diffusion_refinement_tpu.ops.pallas_fps import _fps_fold
+
+        assert _fps_fold(B, N) > 1
+        x = jnp.asarray(rng_np.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+        a = np.asarray(furthest_point_sample_xla(x, npoint))
+        b = np.asarray(furthest_point_sample_pallas(x, npoint, interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_fold_padding_skip(self, rng_np):
+        x = rng_np.uniform(0.5, 1.5, (4, 256, 3)).astype(np.float32)
+        x[:, 200:] = 0.0
+        idx = np.asarray(
+            furthest_point_sample_pallas(jnp.asarray(x), 32, interpret=True)
+        )
+        assert (idx[:, 1:] < 200).all()
+
+    def test_fold_cross_half_ties(self):
+        # duplicate points mirrored across the fold boundary: the tie must
+        # resolve to the LOWEST global index, exercising the cross-fold min
+        rng = np.random.default_rng(11)
+        half = rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32)
+        x = jnp.asarray(np.concatenate([half, half], axis=1))  # (2, 256, 3)
+        a = np.asarray(furthest_point_sample_xla(x, 48))
+        b = np.asarray(furthest_point_sample_pallas(x, 48, interpret=True))
+        np.testing.assert_array_equal(a, b)
