@@ -436,7 +436,10 @@ class PointNet2CloudCondition(nn.Module):
         if self.include_local_feature:
             for i in range(len(self.sa_condition)):
                 ui, fi = self.sa_condition[i](
-                    l_uvw[i], l_feats[i], pooling=self.pooling
+                    l_uvw[i], l_feats[i], pooling=self.pooling,
+                    # level > 0 inputs are the previous level's FPS output in
+                    # selection order, so FPS is the identity prefix
+                    fps_ordered=i > 0,
                 )
                 l_uvw.append(ui)
                 l_feats.append(fi)
@@ -555,6 +558,9 @@ class PointNet2CloudCondition(nn.Module):
                 # built by encode_condition(windowed_ft=True), never under
                 # training — the windowed kernel has no VJP)
                 windowed=windowed_inference,
+                # level > 0 inputs are the previous level's FPS output in
+                # selection order, so FPS is the identity prefix
+                fps_ordered=i > 0,
             )
             l_xyz.append(xi)
             l_features.append(fi)

@@ -132,9 +132,27 @@ class SetAbstraction(nn.Module):
         second_condition_emb=None,
         pooling: str = "max",
         windowed: bool = False,
+        fps_ordered: bool = False,
     ):
-        fps_idx = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, fps_idx)  # (B, npoint, 3)
+        if fps_ordered:
+            # The input cloud is already in FPS *selection order* (it is the
+            # previous SA level's ``new_xyz``).  Greedy FPS is prefix-stable:
+            # with the same start (idx[0] = 0) the j-th pick over the subset
+            # S = FPS(X, n1) equals the j-th pick over X (the X-maximizer is
+            # in S and ties resolve to the lowest index, which is the
+            # earliest-selected = same point).  So FPS on S degenerates to
+            # the identity prefix — verified exactly (incl. duplicate-point
+            # ties) against the Pallas kernel in tests/test_ops_geometry.py.
+            # This deletes the npoint sequential argmax iterations per level
+            # (~0.4 us each at their latency floor) for every SA level > 0.
+            fps_idx = jnp.broadcast_to(
+                jnp.arange(self.npoint, dtype=jnp.int32)[None],
+                (xyz.shape[0], self.npoint),
+            )
+            new_xyz = xyz[:, : self.npoint]
+        else:
+            fps_idx = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, fps_idx)  # (B, npoint, 3)
 
         qctx = None
         if not windowed and self._train_windowed_eligible(xyz, features):
@@ -212,7 +230,10 @@ class SetAbstraction(nn.Module):
             ),
         )
         if self.use_attention:
-            query = gather_points(features, fps_idx)  # features at new_xyz
+            if fps_ordered:
+                query = features[:, : self.npoint]  # features at new_xyz
+            else:
+                query = gather_points(features, fps_idx)  # features at new_xyz
             if qctx is not None:
                 from ..ops.pallas_window import sort_rows
 

@@ -135,6 +135,17 @@ def _group_points_onehot(points: jax.Array, idx: jax.Array, lossy: bool = False)
     )
 
 
+def _gather_ta() -> bool:
+    """Experimental (PDR_GATHER_TA=1): row gathers via take_along_axis instead
+    of the one-hot MXU contraction.  The one-hot form was picked in round 1
+    ("take_along lowers to a ~14 GB/s kLoop"); re-measuring in round 3 with
+    the current fusion layouts to see whether native gathers now win at the
+    kNN-FP shapes (K=8, wide C) where the one-hot contraction is MXU-bound."""
+    import os
+
+    return os.environ.get("PDR_GATHER_TA", "0") == "1"
+
+
 def group_points_with_xyz(
     xyz: jax.Array,
     features: jax.Array | None,
@@ -161,6 +172,18 @@ def group_points_with_xyz(
             group_points(features, idx, lossy=lossy_features)
             if features is not None
             else None
+        )
+        return g_xyz, g_feat
+    if _gather_ta():
+        B, M, K = idx.shape
+        flat = idx.reshape(B, M * K)[..., None]
+        g_xyz = jnp.take_along_axis(xyz.astype(jnp.float32), flat, axis=1)
+        g_xyz = g_xyz.reshape(B, M, K, 3)
+        if features is None:
+            return g_xyz, None
+        f = features.astype(jnp.bfloat16) if lossy_features else features
+        g_feat = jnp.take_along_axis(f, flat, axis=1).reshape(
+            B, M, K, features.shape[-1]
         )
         return g_xyz, g_feat
     N = xyz.shape[1]
@@ -212,8 +235,9 @@ def group_points(points: jax.Array, idx: jax.Array, lossy: bool = False) -> jax.
     high-precision).
     """
     B, M, K = idx.shape
-    if _use_pallas():
+    if _use_pallas() and not _gather_ta():
         return _group_points_onehot(points, idx, lossy=lossy)
     flat = idx.reshape(B, M * K)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    p = points.astype(jnp.bfloat16) if (lossy and _use_pallas()) else points
+    out = jnp.take_along_axis(p, flat[..., None], axis=1)
     return out.reshape(B, M, K, points.shape[-1])

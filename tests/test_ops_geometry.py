@@ -41,6 +41,21 @@ class TestFPS:
         idx = np.asarray(ops.furthest_point_sample(jnp.asarray(xyz), 16))
         assert (idx[:, 1:] < 40).all()
 
+    def test_prefix_stability(self, rng_np):
+        """Greedy FPS is prefix-stable: running FPS on an FPS-ordered subset
+        selects the identity prefix.  This is what lets SetAbstraction skip
+        FPS entirely for levels > 0 (models/modules.py fps_ordered=True)."""
+        xyz = rng_np.standard_normal((3, 256, 3)).astype(np.float32)
+        idx1 = ops.furthest_point_sample(jnp.asarray(xyz), 128)
+        s = ops.gather_points(jnp.asarray(xyz), idx1)
+        idx2 = np.asarray(ops.furthest_point_sample(s, 32))
+        np.testing.assert_array_equal(idx2, np.tile(np.arange(32), (3, 1)))
+        # with duplicated points (argmax ties)
+        xd = jnp.concatenate([jnp.asarray(xyz[:, :128])] * 2, axis=1)
+        sd = ops.gather_points(xd, ops.furthest_point_sample(xd, 64))
+        idx3 = np.asarray(ops.furthest_point_sample(sd, 16))
+        np.testing.assert_array_equal(idx3, np.tile(np.arange(16), (3, 1)))
+
     def test_spread(self, rng_np):
         # FPS should be more spread than the prefix: min pairwise distance of
         # the FPS subset must beat that of the first-npoint subset
