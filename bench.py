@@ -108,6 +108,50 @@ def main():
         "unit": "completions/s/chip",
         "vs_baseline": round(norm / BASELINE_COMPLETIONS_PER_SEC_PER_CHIP, 2),
     }
+
+    # ---- arithmetic-efficiency accounting (VERDICT r3 item 3) ------------
+    # FLOPs from the traced jaxprs: 'model' = the network's own matmuls,
+    # 'gather' = structural one-hot gather contractions (MXU-encoded
+    # gathers), 'pallas' = analytic in-kernel MACs of the windowed kernels
+    # (XLA cost analysis reports 0 for custom calls).  utils/flops.py.
+    try:
+        from point_diffusion_refinement_tpu.utils.flops import (
+            V5E_BF16_PEAK_FLOPS,
+            dot_flops,
+        )
+
+        def _encode(p, c):
+            return model.apply(
+                p, c, windowed_ft=True, method=model.encode_condition
+            )
+
+        enc = dot_flops(_encode, params, cond)
+        cf_struct = jax.eval_shape(_encode, params, cond)
+
+        def _step(p, cf, xx, tt):
+            return model.apply(
+                p, xx, tt, label, cf, method=model.denoise
+            )
+
+        step = dot_flops(_step, params, cf_struct, x, ts)
+        step_total = sum(step.values())
+        total = sum(enc.values()) + T * step_total  # whole-batch FLOPs
+        step_ms = dt / T * 1000.0  # includes amortized encode + dispatch
+        result.update(
+            {
+                "step_ms": round(step_ms, 4),
+                "model_gflops_per_step": round(step["model"] / 1e9, 2),
+                "gather_gflops_per_step": round(step["gather"] / 1e9, 2),
+                "pallas_gflops_per_step": round(step["pallas"] / 1e9, 2),
+                "tflops_per_sec": round(total / dt / 1e12, 2),
+                "mfu": round(total / dt / V5E_BF16_PEAK_FLOPS, 4),
+                "model_mfu": round(
+                    T * step["model"] / dt / V5E_BF16_PEAK_FLOPS, 4
+                ),
+            }
+        )
+    except Exception as e:  # accounting must never sink the bench
+        result["flops_error"] = str(e)[:200]
     print(json.dumps(result))
 
 

@@ -72,6 +72,30 @@ def main():
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 2),
     }
+    # arithmetic-efficiency accounting (VERDICT r3 item 3); see bench.py
+    try:
+        from point_diffusion_refinement_tpu.utils.flops import (
+            V5E_BF16_PEAK_FLOPS,
+            dot_flops,
+        )
+
+        fl = dot_flops(
+            make_completion_train_step(model, schedule, tx),
+            state, x0, cond, label,
+        )
+        total = sum(fl.values())
+        result.update(
+            {
+                "step_ms": round(dt * 1000.0, 2),
+                "model_gflops_per_step": round(fl["model"] / 1e9, 2),
+                "gather_gflops_per_step": round(fl["gather"] / 1e9, 2),
+                "tflops_per_sec": round(total / dt / 1e12, 2),
+                "mfu": round(total / dt / V5E_BF16_PEAK_FLOPS, 4),
+                "model_mfu": round(fl["model"] / dt / V5E_BF16_PEAK_FLOPS, 4),
+            }
+        )
+    except Exception as e:
+        result["flops_error"] = str(e)[:200]
     print(json.dumps(result))
 
 

@@ -140,9 +140,11 @@ class _SplitConcatGroupNorm(nn.Module):
             # affine), so XLA materializes a full f32 copy of it in HBM
             # (measured as dual (f32, bf16) fusion outputs, ~43 MB per large
             # attention instance per step); with a bf16 affine the f32
-            # conversion only feeds the reduces and fuses away.  Values
-            # differ from the f32 affine by <=1 ulp bf16 — within the bf16
-            # path's own rounding envelope.
+            # conversion only feeds the reduces and fuses away.  mul and add
+            # round to bf16 separately and the multiply-add runs in bf16, so
+            # values can differ from round_bf16(f32 affine) by a few bf16
+            # ulps (measured bound asserted in
+            # tests/test_round4_fixes.py::TestBf16PathDrift).
             d = self.dtype
             qn = q[..., :nq] * mul[:, None, :nq].astype(d) \
                 + add[:, None, :nq].astype(d)

@@ -187,167 +187,17 @@ class ConditionedMLP(nn.Module):
     activation: str = "relu"
     trim_last: bool = False
     dtype: object = None
-    fused: bool = False  # inference-only whole-chain Pallas kernel
-
-    def _fused_eligible(self, feature) -> bool:
-        """One-kernel execution (ops/pallas_chain.py): the whole Dense/GN/
-        relu stack runs VMEM-resident per batch row, one HBM read of the
-        grouped input and one write of the output instead of 3-4 bandwidth-
-        bound fusions per layer.  GroupNorm stats are per sample, so the
-        per-row grid needs no cross-row reductions.  Inference-only (no
-        VJP) under bfloat16 compute with the default relu/no-bias layers."""
-        import os
-
-        if not (
-            self.fused
-            and bool(os.environ.get("PDR_FUSED_CHAIN"))
-            and self.dtype is not None
-            and feature.ndim == 4
-            and feature.dtype == self.dtype
-            and self.activation == "relu"
-        ):
-            # Negative result (v5e, B=4, T=200 bench): fusing the whole
-            # chain per batch row measured 7.9x baseline vs 10.2x for the
-            # XLA layer-by-layer fusions — narrow-C tensors pad to 128
-            # VMEM lanes (4-10x wasted VPU work) and the single-block
-            # matmuls underfill the MXU, losing more than the saved HBM
-            # round trips.  Kept as opt-in (PDR_FUSED_CHAIN=1) for wider
-            # configs where C is lane-friendly.
-            return False
-        # VMEM envelope: every (M*K, C) chain tensor pads its lane dim to a
-        # multiple of 128, so narrow-C rows cost ceil(C/128)*128 lanes; with
-        # ~6 live tensors (input, saved, h, dot operands/results) the
-        # single-block-per-row kernel must stay well under the ~128 MB VMEM
-        # budget.  M*K = 65536 at C<=128 measured 145 MB (OOM on v5e).
-        mk = feature.shape[1] * feature.shape[2]
-        width = max(
-            [feature.shape[-1], self.first_conv_features or 0]
-            + list(self.features)
-        )
-        lanes = -(-width // 128) * 128
-        return mk * lanes * 2 * 6 <= 64 * 2**20
-
-    def _fused_call(self, feature, t_emb, condition_emb, second_condition_emb):
-        """Mirror the module flow below, constructing the SAME children in
-        the SAME order (dummy 1-element calls create an identical param
-        tree), then execute the collected weights in one kernel."""
-        import jax as _jax
-
-        from ..ops.pallas_chain import fused_chain
-
-        weights, vectors, spec = [], [], []
-
-        def add_w(arr, cast=True):
-            weights.append(arr.astype(self.dtype) if cast else arr)
-            return len(weights) - 1
-
-        def dummy(mod, c):
-            mod(jnp.zeros((1, 1, 1, c), self.dtype))
-            return mod.variables["params"]
-
-        def dense_op(p):
-            widx = add_w(p["kernel"])
-            bidx = add_w(p["bias"]) if "bias" in p else None
-            return ("dense", widx, bidx)
-
-        def emit_shared(feats, trim, c_in):
-            smlp = SharedMLP(
-                feats, bn=self.bn, bn_first=self.bn_first, bias=self.bias,
-                activation=self.activation, trim_last=trim, dtype=self.dtype,
-            )
-            p = dummy(smlp, c_in)
-            c = c_in
-            n = len(feats)
-            for j, f in enumerate(feats):
-                def emit_gn(width):
-                    ng = min(32, width) if self.bn_first else 32
-                    normed = width - width % ng
-                    if self.bn and normed > 0:
-                        gp = p[f"PartialGroupNorm_{j}"]["GroupNorm_0"]
-                        spec.append((
-                            "gn", add_w(gp["scale"], cast=False),
-                            add_w(gp["bias"], cast=False), ng, normed,
-                        ))
-
-                if self.bn_first:
-                    emit_gn(c)
-                    spec.append(("relu",))
-                    spec.append(dense_op(p[f"Dense_{j}"]))
-                else:
-                    spec.append(dense_op(p[f"Dense_{j}"]))
-                    if not (trim and j == n - 1):
-                        emit_gn(f)
-                        spec.append(("relu",))
-                c = f
-            return c
-
-        c = feature.shape[-1]
-        if self.first_conv_features is not None:
-            d = nn.Dense(
-                self.first_conv_features, use_bias=self.bias, dtype=self.dtype
-            )
-            p = dummy(d, c)
-            spec.append(dense_op(p))
-            c = self.first_conv_features
-        if self.res_connect:
-            spec.append(("save",))
-
-        has_rest = len(self.features) > 2
-        c = emit_shared(self.features[:1], False, c)
-        if self.include_t:
-            assert t_emb is not None
-            t1 = nn.Dense(self.features[0], dtype=self.dtype)(t_emb)
-            vectors.append(t1)
-            spec.append(("addvec", len(vectors) - 1))
-        c = emit_shared(
-            self.features[1:2], self.trim_last and not has_rest, c
-        )
-        if self.include_condition:
-            assert condition_emb is not None
-            c1 = nn.Dense(self.features[1], dtype=self.dtype)(condition_emb)
-            vectors.append(c1)
-            spec.append(("addvec", len(vectors) - 1))
-        if has_rest:
-            c = emit_shared(self.features[2:], self.trim_last, c)
-        if self.include_second_condition:
-            assert second_condition_emb is not None
-            c2 = nn.Dense(self.features[-1], dtype=self.dtype)(
-                second_condition_emb
-            )
-            vectors.append(c2)
-            spec.append(("addvec", len(vectors) - 1))
-        if self.res_connect:
-            res_in = (
-                feature.shape[-1]
-                if self.first_conv_features is None
-                else self.first_conv_features
-            )
-            if res_in == self.features[-1]:
-                spec.append(("res", None, None))
-            else:
-                d = nn.Dense(
-                    self.features[-1], use_bias=self.bias, dtype=self.dtype
-                )
-                p = dummy(d, res_in)
-                spec.append((
-                    "res", add_w(p["kernel"]),
-                    add_w(p["bias"]) if "bias" in p else None,
-                ))
-
-        return fused_chain(
-            feature, weights, vectors, spec,
-            interpret=_jax.default_backend() != "tpu",
-        )
+    # inference marker (windowed/fused upstream kernels have no VJP); the
+    # whole-chain Pallas kernel that once hung off this flag measured 7.9x
+    # vs 10.2x baseline (narrow-C lane padding + underfilled single-block
+    # matmuls) and was pruned in round 4 — see STATUS.md negative results
+    fused: bool = False
 
     @nn.compact
     def __call__(self, feature, t_emb=None, condition_emb=None, second_condition_emb=None):
         assert len(self.features) >= 2
         if self.include_second_condition:
             assert len(self.features) >= 3
-        if self._fused_eligible(feature):
-            return self._fused_call(
-                feature, t_emb, condition_emb, second_condition_emb
-            )
         mk = lambda feats, trim=False: SharedMLP(
             feats, bn=self.bn, bn_first=self.bn_first, bias=self.bias,
             activation=self.activation, trim_last=trim, dtype=self.dtype,

@@ -401,17 +401,29 @@ class PointNet2CloudCondition(nn.Module):
             return False
         enc = self.encoder_feature_map[level]
         dec = self.decoder_feature_map[level]
-        return (
-            enc.neighbor_def == "radius"
-            and dec.neighbor_def == "radius"
-            and enc.radius == dec.radius
-            and enc.k == dec.k
-            and enc.use_xyz and dec.use_xyz
-            and enc.include_abs_coordinate and dec.include_abs_coordinate
-            and enc.include_center_coordinate == dec.include_center_coordinate
-            and enc.dtype is not None  # bf16 compute: lossy feature gathers
-            and dec.dtype is not None
-        )
+        failed = []
+        if not (enc.neighbor_def == "radius" and dec.neighbor_def == "radius"):
+            failed.append("neighbor_def != 'radius'")
+        if not (enc.radius == dec.radius and enc.k == dec.k):
+            failed.append("enc/dec FT radius or K mismatch")
+        if not (enc.use_xyz and dec.use_xyz
+                and enc.include_abs_coordinate and dec.include_abs_coordinate):
+            failed.append("use_xyz/include_abs_coordinate off")
+        if enc.include_center_coordinate != dec.include_center_coordinate:
+            failed.append("enc/dec include_center_coordinate mismatch")
+        if enc.dtype is None or dec.dtype is None:
+            failed.append("compute_dtype is not bfloat16")
+        if failed:
+            from ..utils.logging import warn_once
+
+            warn_once(
+                f"ft-windowed:{level}:{';'.join(failed)}",
+                f"Feature-Transfer level {level}: windowed fast path "
+                f"ineligible ({'; '.join(failed)}); using the ~2x slower "
+                "unfused grouping path",
+            )
+            return False
+        return True
 
     def encode_condition(self, condition, windowed_ft: bool = False) -> CondFeatures:
         """Run the condition branch (SA + FP ladders + global PointNet) once.
@@ -518,6 +530,14 @@ class PointNet2CloudCondition(nn.Module):
             if level >= len(ft_sups) or ft_sups[level] is None:
                 return None
             if q_xyz.shape[1] % 128 != 0:
+                from ..utils.logging import warn_once
+
+                warn_once(
+                    f"ft-query-align:{level}:{q_xyz.shape[1]}",
+                    f"Feature-Transfer level {level}: query cloud size "
+                    f"{q_xyz.shape[1]} is not a multiple of 128; using the "
+                    "~2x slower unfused grouping path",
+                )
                 return None
             from ..ops.pallas_window import build_query_ctx, windowed_ball_group
 

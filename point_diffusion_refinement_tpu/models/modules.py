@@ -88,20 +88,38 @@ class SetAbstraction(nn.Module):
         opposite of the surface-shaped condition cloud.  The kernel needs
         the [features, rel, abs(, center)] layout (use_xyz +
         include_abs_coordinate), bf16 compute, radius neighborhoods, and
-        128-aligned query counts; anything else keeps the unfused path."""
+        128-aligned query counts; anything else keeps the unfused path.
+
+        When the caller requested the fast path (windowed=True) and a
+        non-size predicate fails, a one-shot trace-time warning names it —
+        size floors (cloud < 1024 points) stay silent because the coarse
+        levels of the shipped config fall back by design."""
         import os
 
-        return (
-            windowed
-            and os.environ.get("PDR_WINDOWED_SA", "1") != "0"
-            and self.neighbor_def == "radius"
-            and features is not None
-            and self.use_xyz
-            and self.include_abs_coordinate
-            and self.dtype is not None
-            and xyz.shape[1] >= 1024
-            and self.npoint % 128 == 0
-        )
+        if not (windowed and os.environ.get("PDR_WINDOWED_SA", "1") != "0"):
+            return False
+        if xyz.shape[1] < 1024 or features is None:
+            return False  # size floor / no features: silent by-design fallback
+        failed = []
+        if self.neighbor_def != "radius":
+            failed.append(f"neighbor_def={self.neighbor_def!r} (need 'radius')")
+        if not (self.use_xyz and self.include_abs_coordinate):
+            failed.append("use_xyz/include_abs_coordinate off")
+        if self.dtype is None:
+            failed.append("compute_dtype is not bfloat16")
+        if self.npoint % 128 != 0:
+            failed.append(f"npoint={self.npoint} not a multiple of 128")
+        if failed:
+            from ..utils.logging import warn_once
+
+            warn_once(
+                f"sa-windowed:{self.name}:{';'.join(failed)}",
+                f"SetAbstraction {self.name}: windowed fast path ineligible "
+                f"({'; '.join(failed)}); using the ~2x slower unfused "
+                "grouping path",
+            )
+            return False
+        return True
 
     def _train_windowed_eligible(self, xyz, features) -> bool:
         """Opt-in (PDR_WINDOWED_TRAIN=1) differentiable windowed grouping for
@@ -259,6 +277,12 @@ class SetAbstraction(nn.Module):
                 attention_bn=self.global_attention_bn,
                 last_activation=self.global_attention_last_activation,
             )(cat)
+        # INVARIANT: new_xyz is returned in FPS *selection order* and must
+        # never be permuted (e.g. into sorted-query order like new_features
+        # transiently is) — the next SA level's fps_ordered=True treats its
+        # input as an FPS sample with the identity prefix, which silently
+        # degrades to arbitrary subsampling if this order changes.  Guarded
+        # by tests/test_round4_fixes.py::TestFpsOrderedInvariant.
         return new_xyz, new_features
 
 

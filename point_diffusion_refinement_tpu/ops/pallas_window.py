@@ -623,6 +623,13 @@ def windowed_ball_group(
     transposed kernel (same values, M-minor outputs).
     """
     if isinstance(sup, SupportCtxT):
+        if q.xyz_sorted.shape[1] % 128 != 0:
+            raise ValueError(
+                "windowed_ball_group: SupportCtxT (transposed kernel) needs "
+                f"query count % 128 == 0, got {q.xyz_sorted.shape[1]}; build "
+                "the support with build_support_ctx (lane orientation, "
+                "handles M % 8 == 0) or set PDR_WINDOWED_T=0"
+            )
         return windowed_ball_group_t(
             sup, q, radius, nsample, window=window,
             include_center=include_center, empty_mode=empty_mode,
@@ -634,16 +641,12 @@ def windowed_ball_group(
     W = min(W, Np)
     MT = _row_tile(M)
     assert M % MT == 0, (M, MT)
-    Tn = M // MT
 
-    tiles = q.keys.reshape(B, Tn, MT)
-    lo = tiles.min(-1) - radius
-    hi = tiles.max(-1) + radius
-    raw = jax.vmap(lambda k, l: jnp.searchsorted(k, l))(sup.keys, lo)
-    ends = jax.vmap(lambda k, h: jnp.searchsorted(k, h, side="right"))(
-        sup.keys, hi
-    )
-    a128 = ((raw // 128) * 128).astype(jnp.int32)
+    # per-tile tier decision (narrow W / mid 2W / wide) shared with the
+    # transposed orientation — the two kernels' bit-parity depends on the
+    # same a128 alignment, clip bounds, and W2 rule
+    scal, wide = _tier_starts(sup.keys, q.keys, radius, W, Np, M, MT)
+    _record_window_macs(B, M, W, nsample, sup.table_orig.shape[-1])
 
     q8 = jnp.concatenate(
         [q.xyz_sorted, jnp.zeros((B, M, 5), jnp.float32)], axis=-1
@@ -651,23 +654,6 @@ def windowed_ball_group(
 
     row0 = sup.table_orig[:, :1, :]  # (B, 1, CT) — "row0" empty-ball substitute
 
-    starts_w = jnp.clip(a128, 0, max(Np - W, 0))
-    if W >= Np:
-        wide = jnp.zeros(starts_w.shape, bool)
-        scal = starts_w
-    else:
-        over_w = ends > starts_w + W                    # (B, Tn)
-        W2 = 2 * W if 2 * W < Np else W                 # mirror _windowed_call
-        if W2 > W:
-            starts_m = jnp.clip(a128, 0, max(Np - W2, 0))
-            wide = over_w & (ends > starts_m + W2)
-            scal = jnp.where(
-                wide, jnp.int32(-1),
-                jnp.where(over_w, -(starts_m + 2), starts_w),
-            )
-        else:
-            wide = over_w
-            scal = jnp.where(wide, jnp.int32(-1), starts_w)
     out, counts = _windowed_call(
         sup.planes, sup.table_sorted, q8, scal, sup.planes_orig,
         sup.table_orig, row0,
@@ -984,6 +970,15 @@ def _windowed_call_t(planes, planes_row, table_t, qT8, starts, planes_orig,
     return out, cnt[:, 0, :]
 
 
+def _record_window_macs(B, M, W, nsample, CT):
+    """Trace-time analytic MAC tally for MFU accounting (utils/flops.py).
+    Narrow-tier lower bound: rank matmul W^2 + K gather contractions W*CT
+    per query; mid/wide tiles cost more but are data-dependent."""
+    from ..utils.flops import record_pallas_macs
+
+    record_pallas_macs(float(B) * M * (float(W) * W + nsample * float(W) * CT))
+
+
 def _tier_starts(sup_keys, q_keys, radius, W, Np, M, MT):
     """Host-side per-tile tier decision shared by both kernel orientations:
     returns (scal (B, Tn) i32, wide (B, Tn) bool)."""
@@ -1032,6 +1027,7 @@ def windowed_ball_group_t(
     W = window if window is not None else default_window(sup.n)
     W = min(W, Np)
     scal, wide = _tier_starts(sup.keys, q.keys, radius, W, Np, M, 128)
+    _record_window_macs(B, M, W, nsample, sup.table_orig_t.shape[1])
 
     qT8 = jnp.concatenate(
         [jnp.swapaxes(q.xyz_sorted, 1, 2), jnp.zeros((B, 5, M), jnp.float32)],
@@ -1275,6 +1271,13 @@ def windowed_knn_group(
          jnp.zeros((B, M, 4), jnp.float32)], axis=-1
     )  # (B, M, 8)
 
+    # selection is iterative-min VPU work; only the per-k gather
+    # contractions (W x CT per slot) ride the MXU — no rank matmul
+    from ..utils.flops import record_pallas_macs
+
+    record_pallas_macs(
+        float(B) * M * k * float(W) * sup.table_orig.shape[-1]
+    )
     out = _knn_windowed_call(
         sup.planes, sup.table_sorted, q8, starts, sup.planes_orig,
         sup.table_orig, k, W, sup.feat_dims, interpret,

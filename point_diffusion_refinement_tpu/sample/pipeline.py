@@ -108,10 +108,15 @@ def run_generation(
         state, it = state_override, 0
     else:
         root = train_config.get("root_directory", "exp")
-        ckpt_path = os.path.join(
-            root, local_experiment_path(config),
-            config.get("gen_config", {}).get("ckpt_path", "logs/checkpoint"),
+        # ckpt_path defaults to wherever training wrote checkpoints
+        # (train_config.output_directory) so any config that trains can
+        # generate; gen_config.ckpt_path still overrides it
+        # (generate_samples.py:87-99 has a single hard-coded default, but
+        # here train and gen each had one and they could drift apart).
+        gen_ckpt = config.get("gen_config", {}).get(
+            "ckpt_path", train_config.get("output_directory", "logs/checkpoint")
         )
+        ckpt_path = os.path.join(root, local_experiment_path(config), gen_ckpt)
         if ckpt_iter in ("max", "best"):
             it = find_max_epoch(ckpt_path, ckpt_iter)
         else:

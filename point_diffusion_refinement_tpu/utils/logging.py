@@ -41,3 +41,33 @@ class TensorBoardLogger:
             self._tb.close()
         else:
             self._jsonl.close()
+
+
+# ---------------------------------------------------------------------------
+# One-shot perf-drift warnings.
+#
+# The windowed fused ball-query+gather fast path (ops/pallas_window.py) has
+# eligibility predicates (M % 128, bf16 compute, radius neighborhoods,
+# matching enc/dec FT geometry).  A config drifting off any of these silently
+# ran ~2x slower with no log line; these helpers emit ONE trace-time warning
+# naming the failed predicate.  Size floors (support < 1024 points) stay
+# silent: the shipped config's coarse levels fall back by design, and at
+# those sizes the fast path would not pay anyway.
+# ---------------------------------------------------------------------------
+
+_WARNED: set = set()
+
+
+def warn_once(key: str, message: str) -> None:
+    """Emit ``message`` as a UserWarning the first time ``key`` is seen."""
+    if key in _WARNED:
+        return
+    _WARNED.add(key)
+    import warnings
+
+    warnings.warn(message, UserWarning, stacklevel=3)
+
+
+def reset_warn_once() -> None:
+    """Clear the warn-once cache (tests)."""
+    _WARNED.clear()
