@@ -108,6 +108,16 @@ def main():
         "unit": "completions/s/chip",
         "vs_baseline": round(norm / BASELINE_COMPLETIONS_PER_SEC_PER_CHIP, 2),
     }
+    if T != 1000:
+        # the T=50 record compares against the reference's FastDPM-50
+        # pipeline: 41,600 completions in ~1 h on 8 GPUs => 1.44/s/chip
+        # (README.md:97, BASELINE.md) — report the un-normalized rate too
+        result["T"] = T
+        result["raw_completions_per_sec_per_chip"] = round(
+            completions_per_sec, 4
+        )
+        if T == 50:
+            result["vs_baseline_T50"] = round(completions_per_sec / 1.44, 2)
 
     # ---- arithmetic-efficiency accounting (VERDICT r3 item 3) ------------
     # FLOPs from the traced jaxprs: 'model' = the network's own matmuls,

@@ -227,11 +227,20 @@ class AttentionPool(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, feat, grouped_feat, grouped_feat_out, counts, fused=False):
+    def __call__(self, feat, grouped_feat, grouped_feat_out, counts,
+                 fused=False, key_pre=None):
+        """``key_pre``: externally computed ``Dense_1(grouped_feat)`` (from a
+        merged matmul that reads the grouped tensor once for all its
+        consumers); the key Dense is then skipped (explicitly named, so the
+        parameter tree is unchanged)."""
         K = grouped_feat.shape[-2]
         c_out = self.out_features
         c1 = max(feat.shape[-1], 32)
-        c2 = max(grouped_feat.shape[-1], 32)
+        c2 = (
+            int(key_pre.shape[-1])
+            if key_pre is not None
+            else max(grouped_feat.shape[-1], 32)
+        )
         inter_c = min(c1 + c2, c_out)
 
         # Fused Pallas path (inference only — no VJP): the whole
@@ -245,6 +254,7 @@ class AttentionPool(nn.Module):
             and self.attention_bn
             and self.transform_grouped_feat_out
             and self.last_activation
+            and key_pre is None
             and _fused_attention_enabled()
         ):
             from ..ops.pallas_attention import fused_attention_pool
@@ -271,7 +281,10 @@ class AttentionPool(nn.Module):
             )
 
         q = nn.Dense(c1, dtype=self.dtype, name="Dense_0")(feat)  # (B, M, C1)
-        k = nn.Dense(c2, dtype=self.dtype, name="Dense_1")(grouped_feat)
+        if key_pre is not None:
+            k = key_pre
+        else:
+            k = nn.Dense(c2, dtype=self.dtype, name="Dense_1")(grouped_feat)
 
         hq = jnp.maximum(q, 0.0)  # ReLU precedes the norm (attention.py:46-57)
         hk = jnp.maximum(k, 0.0)

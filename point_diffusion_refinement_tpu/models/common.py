@@ -137,23 +137,42 @@ class SharedMLP(nn.Module):
     dtype: object = None  # compute dtype (e.g. bfloat16); params stay f32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, first_pre: bool = False):
+        """``first_pre=True``: ``x`` is already the FIRST Dense layer's output
+        (computed externally as part of a merged multi-head matmul so the
+        grouped input tensor is read from HBM once, not once per consumer);
+        skip that Dense and run the remaining norm/act/layers.  Only
+        meaningful for bn_first=False (Dense-first) stacks.  Layer names are
+        explicit (matching the auto-assigned ones) so the skip cannot shift
+        the parameter tree."""
         act = ACTIVATIONS[self.activation]
         n = len(self.features)
+        if first_pre:
+            assert not self.bn_first
         for i, f in enumerate(self.features):
             if self.bn_first:
                 if self.bn:
                     x = PartialGroupNorm(
-                        min(32, x.shape[-1]), dtype=self.dtype
+                        min(32, x.shape[-1]), dtype=self.dtype,
+                        name=f"PartialGroupNorm_{i}",
                     )(x)
                 x = act(x)
-                x = nn.Dense(f, use_bias=self.bias, dtype=self.dtype)(x)
+                x = nn.Dense(
+                    f, use_bias=self.bias, dtype=self.dtype, name=f"Dense_{i}"
+                )(x)
             else:
-                x = nn.Dense(f, use_bias=self.bias, dtype=self.dtype)(x)
+                if not (first_pre and i == 0):
+                    x = nn.Dense(
+                        f, use_bias=self.bias, dtype=self.dtype,
+                        name=f"Dense_{i}",
+                    )(x)
                 last = i == n - 1
                 if not (self.trim_last and last):
                     if self.bn:
-                        x = PartialGroupNorm(32, dtype=self.dtype)(x)
+                        x = PartialGroupNorm(
+                            32, dtype=self.dtype,
+                            name=f"PartialGroupNorm_{i}",
+                        )(x)
                     x = act(x)
         return x
 
@@ -193,8 +212,27 @@ class ConditionedMLP(nn.Module):
     # matmuls) and was pruned in round 4 — see STATUS.md negative results
     fused: bool = False
 
+    def res_dense_name(self) -> str:
+        """Name of the residual-projection Dense, reproducing flax's
+        auto-numbering (construction order: first_conv, t-proj, cond-proj,
+        second-cond-proj, residual)."""
+        i = (
+            int(self.first_conv_features is not None)
+            + int(self.include_t)
+            + int(self.include_condition)
+            + int(self.include_second_condition)
+        )
+        return f"Dense_{i}"
+
     @nn.compact
-    def __call__(self, feature, t_emb=None, condition_emb=None, second_condition_emb=None):
+    def __call__(self, feature, t_emb=None, condition_emb=None,
+                 second_condition_emb=None, first_pre=None, res_pre=None):
+        """``first_pre``/``res_pre``: externally computed first-Dense output /
+        residual-projection output (from a merged matmul that reads the
+        grouped input once for all its consumers — see
+        modules._packed_first_layers).  Dense layers are explicitly named in
+        the auto-assignment order so skipping them cannot shift the
+        parameter tree."""
         assert len(self.features) >= 2
         if self.include_second_condition:
             assert len(self.features) >= 3
@@ -202,15 +240,31 @@ class ConditionedMLP(nn.Module):
             feats, bn=self.bn, bn_first=self.bn_first, bias=self.bias,
             activation=self.activation, trim_last=trim, dtype=self.dtype,
         )
+        di = [0]
+
+        def _dname():
+            n = f"Dense_{di[0]}"
+            di[0] += 1
+            return n
 
         if self.first_conv_features is not None:
-            feature = nn.Dense(self.first_conv_features, use_bias=self.bias, dtype=self.dtype)(feature)
+            assert first_pre is None
+            feature = nn.Dense(
+                self.first_conv_features, use_bias=self.bias,
+                dtype=self.dtype, name=_dname(),
+            )(feature)
 
         has_rest = len(self.features) > 2
-        h = mk(self.features[:1])(feature)
+        if first_pre is not None:
+            assert not self.bn_first
+            h = mk(self.features[:1])(first_pre, first_pre=True)
+        else:
+            h = mk(self.features[:1])(feature)
         if self.include_t:
             assert t_emb is not None
-            t1 = nn.Dense(self.features[0], dtype=self.dtype)(t_emb)  # (B, f0)
+            t1 = nn.Dense(
+                self.features[0], dtype=self.dtype, name=_dname()
+            )(t_emb)  # (B, f0)
             h = h + t1[:, None, None, :]
         else:
             assert t_emb is None
@@ -218,7 +272,9 @@ class ConditionedMLP(nn.Module):
         h = mk(self.features[1:2], trim=self.trim_last and not has_rest)(h)
         if self.include_condition:
             assert condition_emb is not None
-            c1 = nn.Dense(self.features[1], dtype=self.dtype)(condition_emb)
+            c1 = nn.Dense(
+                self.features[1], dtype=self.dtype, name=_dname()
+            )(condition_emb)
             h = h + c1[:, None, None, :]
         else:
             assert condition_emb is None
@@ -227,16 +283,23 @@ class ConditionedMLP(nn.Module):
             h = mk(self.features[2:], trim=self.trim_last)(h)
         if self.include_second_condition:
             assert second_condition_emb is not None
-            c2 = nn.Dense(self.features[-1], dtype=self.dtype)(second_condition_emb)
+            c2 = nn.Dense(
+                self.features[-1], dtype=self.dtype, name=_dname()
+            )(second_condition_emb)
             h = h + c2[:, None, None, :]
         else:
             assert second_condition_emb is None
 
         if self.res_connect:
-            if feature.shape[-1] == self.features[-1]:
+            if res_pre is not None:
+                h = h + res_pre
+            elif feature.shape[-1] == self.features[-1]:
                 h = h + feature
             else:
-                h = h + nn.Dense(self.features[-1], use_bias=self.bias, dtype=self.dtype)(feature)
+                h = h + nn.Dense(
+                    self.features[-1], use_bias=self.bias, dtype=self.dtype,
+                    name=_dname(),
+                )(feature)
         return h
 
 

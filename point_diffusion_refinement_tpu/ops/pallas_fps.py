@@ -194,6 +194,59 @@ def _fps_kernel_folded(npoint: int, fold: int, xyz_ref, idx_ref, mind_ref):
     jax.lax.fori_loop(1, npoint, body, pack0)
 
 
+def _fps_kernel_coords(npoint: int, xyz_ref, idx_ref, coords_ref, mind_ref):
+    """`_fps_kernel` additionally emitting the selected coordinates.
+
+    The kernel already extracts the previous selection's (x, y, z) every
+    iteration to compute distances (one-hot masked maxes) — storing that
+    (1, 3B) row into coords_ref makes the caller's follow-up
+    `gather_points(xyz, idx)` (an XLA kLoop gather, ~27 us at the SA-0
+    shapes) disappear, and the emitted positions are bit-exact f32.
+    coords_ref: (npoint, 3B) with row j = [x_j | y_j | z_j] per batch row;
+    row j is written at iteration j+1 (when selection j's coordinates are
+    extracted), with a final extraction after the loop for the last row.
+    """
+    _, B, N = xyz_ref.shape
+    x = xyz_ref[0]  # (B, N)
+    y = xyz_ref[1]
+    z = xyz_ref[2]
+    valid = (x * x + y * y + z * z) > PAD_NORM_SQ  # (B, N)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+
+    mind_ref[:, :] = jnp.where(valid, jnp.float32(1e10), jnp.float32(-1.0))
+    idx_ref[0, :] = jnp.zeros((B,), jnp.int32)
+
+    neg_inf = jnp.float32(-1e30)
+
+    def extract(old):
+        onehot = lane == old[:, None]  # (B, N)
+        sel_x = jnp.max(jnp.where(onehot, x, neg_inf), axis=1)  # (B,)
+        sel_y = jnp.max(jnp.where(onehot, y, neg_inf), axis=1)
+        sel_z = jnp.max(jnp.where(onehot, z, neg_inf), axis=1)
+        return sel_x, sel_y, sel_z
+
+    def body(j, old):
+        sel_x, sel_y, sel_z = extract(old)
+        coords_ref[pl.ds(j - 1, 1), :] = jnp.concatenate(
+            [sel_x, sel_y, sel_z]
+        )[None, :]
+        dx = x - sel_x[:, None]
+        dy = y - sel_y[:, None]
+        dz = z - sel_z[:, None]
+        d = dx * dx + dy * dy + dz * dz
+        cand = jnp.minimum(mind_ref[:, :], d)
+        mind_ref[:, :] = cand
+        best = jnp.max(cand, axis=1)  # (B,)
+        hit = cand == best[:, None]
+        new = jnp.min(jnp.where(hit, lane, N), axis=1).astype(jnp.int32)
+        idx_ref[pl.ds(j, 1), :] = new[None, :]
+        return new
+
+    last = jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), jnp.int32))
+    lx, ly, lz = extract(last)
+    coords_ref[pl.ds(npoint - 1, 1), :] = jnp.concatenate([lx, ly, lz])[None, :]
+
+
 def _fps_kernel(npoint: int, xyz_ref, idx_ref, mind_ref):
     # xyz_ref: (3, B, N) f32; idx_ref: (npoint, B) i32 (row-major per
     # iteration so the dynamic store is a full (1, B) sublane row — Mosaic
@@ -280,6 +333,54 @@ def furthest_point_sample_pallas(
 # read would be captured at first trace and later toggles would silently
 # no-op inside an outer jit (advisor r2).
 _FPS_STACKED = os.environ.get("PDR_FPS_STACKED", "0") != "0"
+
+
+def furthest_point_sample_pallas_coords(
+    xyz: jax.Array, npoint: int, interpret: bool = False
+):
+    """FPS returning (idx (B, npoint) i32, coords (B, npoint, 3) f32) from
+    one kernel — the coordinates the selection loop extracts anyway, emitted
+    so the caller's `gather_points(xyz, idx)` disappears.  Bit-exact f32."""
+    return _fps_pallas_coords_impl(xyz, npoint, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _fps_pallas_coords_impl(xyz: jax.Array, npoint: int, interpret: bool):
+    B, N, _ = xyz.shape
+    Bt = min(B, fps_batch_tile(B, N))
+
+    def run_chunk(planes_chunk):
+        bc = planes_chunk.shape[1]
+        return pl.pallas_call(
+            functools.partial(_fps_kernel_coords, npoint),
+            out_shape=[
+                jax.ShapeDtypeStruct((npoint, bc), jnp.int32),
+                jax.ShapeDtypeStruct((npoint, 3 * bc), jnp.float32),
+            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((bc, N), jnp.float32)],
+            interpret=interpret,
+        )(planes_chunk)
+
+    planes = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
+    idxs, coords = [], []
+    for i in range(0, B, Bt):
+        chunk = planes[:, i : i + Bt]
+        bc = chunk.shape[1]
+        if bc != Bt and B > Bt:
+            chunk = jnp.pad(chunk, ((0, 0), (0, Bt - bc), (0, 0)))
+        idx_c, co_c = run_chunk(chunk)
+        idxs.append(idx_c.T)
+        # (npoint, 3*Bt) rows = [x | y | z] -> (Bt, npoint, 3)
+        co = co_c.reshape(npoint, 3, chunk.shape[1])
+        coords.append(jnp.transpose(co, (2, 0, 1)))
+    idx = jnp.concatenate(idxs, axis=0) if len(idxs) > 1 else idxs[0]
+    co = jnp.concatenate(coords, axis=0) if len(coords) > 1 else coords[0]
+    return idx[:B], co[:B]
 
 
 def _fps_fold(B: int, N: int) -> int:

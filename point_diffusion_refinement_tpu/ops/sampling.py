@@ -80,6 +80,51 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
     return furthest_point_sample_xla(xyz, npoint)
 
 
+def furthest_point_sample_and_gather(xyz: jax.Array, npoint: int):
+    """FPS + gather of the selected positions in one pass.
+
+    On TPU the Pallas kernel emits the selected coordinates directly (it
+    extracts them every iteration anyway, pallas_fps._fps_kernel_coords) so
+    the follow-up row gather — an XLA kLoop at ~27 us for (4, 2048) — never
+    runs; elsewhere falls back to FPS + gather_points.  Returns
+    (idx (B, npoint) i32, new_xyz (B, npoint, 3) f32), bit-identical to
+    ``idx = furthest_point_sample(xyz, npoint); gather_points(xyz, idx)``.
+    """
+    if _use_pallas():
+        from .pallas_fps import fps_batch_tile, furthest_point_sample_pallas_coords
+
+        if fps_batch_tile(xyz.shape[0], xyz.shape[1]) >= 1 and xyz.shape[1] <= 2 ** 18:
+            return furthest_point_sample_pallas_coords(xyz, npoint)
+    idx = furthest_point_sample(xyz, npoint)
+    return idx, gather_points(xyz, idx)
+
+
+def gather_rows_mxu(points: jax.Array, idx: jax.Array, lossy: bool = False) -> jax.Array:
+    """Row gather (B, N, C) x (B, M) -> (B, M, C) as a one-hot MXU
+    contraction (XLA's native row gather is a ~20 GB/s kLoop fusion on TPU).
+
+    lossy=True emits bf16-rounded rows (exact when the rows already are
+    bf16, or when the consumer is a bf16-compute Dense that would round its
+    input anyway); lossy=False reconstructs ~16 mantissa bits from an hi/lo
+    split.  Off-TPU falls back to the exact native gather."""
+    if not _use_pallas():
+        return gather_points(points, idx)
+    oh = jax.nn.one_hot(idx, points.shape[1], dtype=jnp.bfloat16)  # (B, M, N)
+    if lossy:
+        return jnp.einsum(
+            "bmn,bnc->bmc", oh, points.astype(jnp.bfloat16),
+            preferred_element_type=jnp.bfloat16,
+        )
+    hi = points.astype(jnp.bfloat16)
+    lo = (points.astype(jnp.float32) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "bmn,bnc->bmc", oh, jnp.concatenate([hi, lo], axis=-1),
+        preferred_element_type=jnp.float32,
+    )
+    C = points.shape[-1]
+    return out[..., :C] + out[..., C:]
+
+
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather points/features by index along the point axis.
 

@@ -30,23 +30,37 @@ import numpy as np
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
-# trace-time tally the pallas wrappers append (mac_count) entries to
+# trace-time tally the pallas wrappers append (mac_count) entries to;
+# recording is a no-op unless a pallas_flops_tally scope is active, so
+# ordinary jit compiles / eval_shape traces outside the accounting scope
+# don't grow the module-global list
 _PALLAS_TALLY: list = []
+_TALLY_DEPTH: int = 0
 
 
 def record_pallas_macs(macs: float) -> None:
-    _PALLAS_TALLY.append(float(macs))
+    if _TALLY_DEPTH > 0:
+        _PALLAS_TALLY.append(float(macs))
 
 
 @contextlib.contextmanager
 def pallas_flops_tally():
     """Scope a trace; yields a dict whose 'flops' is filled on exit with
-    2 * the in-kernel MACs recorded during the scope."""
+    2 * the in-kernel MACs recorded during the scope.
+
+    Caveat: pallas MACs are recorded once per trace of the kernel call.  If a
+    windowed kernel is traced inside a ``lax.scan`` body, the record is NOT
+    scaled by the trip count (dot_general FLOPs are) — apply ``dot_flops`` to
+    a single unrolled step, as the benches do.
+    """
+    global _TALLY_DEPTH
     start = len(_PALLAS_TALLY)
     out = {}
+    _TALLY_DEPTH += 1
     try:
         yield out
     finally:
+        _TALLY_DEPTH -= 1
         out["flops"] = 2.0 * sum(_PALLAS_TALLY[start:])
         del _PALLAS_TALLY[start:]
 
@@ -83,12 +97,59 @@ _PASSTHROUGH = {
 }
 
 
-def _origin_primitive(var, defs, depth: int = 8):
-    """Walk back through layout-only ops to the defining primitive name."""
+def _subjaxpr(eqn):
+    """The nested jaxpr of a call-like eqn (pjit, closed_call, remat, custom
+    derivative wrappers), or None."""
+    if not hasattr(eqn, "params"):
+        return None
+    for key in ("jaxpr", "call_jaxpr"):
+        sub = eqn.params.get(key)
+        if sub is not None:
+            return getattr(sub, "jaxpr", sub)
+    return None
+
+
+def _index_jaxpr(jaxpr, defs: dict, alias: dict) -> None:
+    """Build a GLOBAL var index across nested jaxprs so origin walks cross
+    pjit boundaries (jax.nn.one_hot and jnp.einsum are internally
+    jit-wrapped, so the ``eq`` producing a one-hot lives in a sub-jaxpr of
+    the dot's operand).  ``defs``: id(var) -> defining eqn.  ``alias``:
+    id(inner invar) -> the outer operand var feeding it."""
+    for eqn in jaxpr.eqns:
+        for v in eqn.outvars:
+            defs[id(v)] = eqn
+        sub = _subjaxpr(eqn)
+        if sub is not None:
+            # scan invars = consts + carry + xs (sliced); arity still lines
+            # up 1:1 from the back for classification purposes — only
+            # primitive NAMES are consumed downstream, shapes never are
+            n = min(len(sub.invars), len(eqn.invars))
+            for iv, ov in zip(sub.invars[-n:], eqn.invars[-n:]):
+                alias[id(iv)] = ov
+            _index_jaxpr(sub, defs, alias)
+
+
+def _origin_primitive(var, defs, alias, depth: int = 32):
+    """Walk back through layout-only ops AND call boundaries to the defining
+    primitive name."""
     for _ in range(depth):
+        while id(var) in alias:
+            var = alias[id(var)]
         eqn = defs.get(id(var))
         if eqn is None:
             return None
+        sub = _subjaxpr(eqn)
+        if sub is not None:
+            # descend: the call's outvar corresponds positionally to the
+            # sub-jaxpr's outvar
+            idx = next(
+                (i for i, v in enumerate(eqn.outvars) if id(v) == id(var)),
+                None,
+            )
+            if idx is None or idx >= len(sub.outvars):
+                return eqn.primitive.name
+            var = sub.outvars[idx]
+            continue
         name = eqn.primitive.name
         if name in _PASSTHROUGH and eqn.invars:
             var = eqn.invars[0]
@@ -97,11 +158,7 @@ def _origin_primitive(var, defs, depth: int = 8):
     return None
 
 
-def _walk(jaxpr, mult: float, out: dict, defs_outer=None):
-    defs = {}
-    for eqn in jaxpr.eqns:
-        for v in eqn.outvars:
-            defs[id(v)] = eqn
+def _walk(jaxpr, mult: float, out: dict, defs: dict, alias: dict):
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if name == "dot_general":
@@ -109,43 +166,48 @@ def _walk(jaxpr, mult: float, out: dict, defs_outer=None):
             flops = _dim_numbers_flops(eqn, shapes) * mult
             is_gather = False
             for v in eqn.invars:
-                if _origin_primitive(v, defs) in ("eq", "select_n"):
+                if _origin_primitive(v, defs, alias) in ("eq", "select_n"):
                     is_gather = True
                     break
             out["gather" if is_gather else "model"] += flops
         elif name == "scan":
             inner = eqn.params["jaxpr"].jaxpr
-            _walk(inner, mult * float(eqn.params["length"]), out)
+            _walk(inner, mult * float(eqn.params["length"]), out, defs, alias)
         elif name == "while":
             # no static trip count: count the body once (not used on the
             # benched paths)
-            _walk(eqn.params["body_jaxpr"].jaxpr, mult, out)
+            _walk(eqn.params["body_jaxpr"].jaxpr, mult, out, defs, alias)
         elif name == "cond":
             # count the most expensive branch
             best = None
             for br in eqn.params["branches"]:
                 sub = {"model": 0.0, "gather": 0.0}
-                _walk(br.jaxpr, mult, sub)
+                _walk(br.jaxpr, mult, sub, defs, alias)
                 if best is None or sum(sub.values()) > sum(best.values()):
                     best = sub
             if best:
                 out["model"] += best["model"]
                 out["gather"] += best["gather"]
         else:
-            for key in ("jaxpr", "call_jaxpr"):
-                sub = eqn.params.get(key) if hasattr(eqn, "params") else None
-                if sub is not None:
-                    _walk(getattr(sub, "jaxpr", sub), mult, out)
-                    break
+            sub = _subjaxpr(eqn)
+            if sub is not None:
+                _walk(sub, mult, out, defs, alias)
 
 
 def dot_flops(fn: Callable, *args, **kwargs) -> dict:
     """Trace ``fn(*args, **kwargs)`` and return
     {'model': flops, 'gather': flops, 'pallas': flops} — pallas from the
-    trace-time tally the windowed kernels record."""
+    trace-time tally the windowed kernels record.
+
+    Apply to a SINGLE unrolled step: dot_general FLOPs inside ``lax.scan``
+    are scaled by the trip count, but the pallas trace-time records are not
+    (a kernel traced in a scan body records its MACs once)."""
     out = {"model": 0.0, "gather": 0.0}
     with pallas_flops_tally() as tally:
         jaxpr = jax.make_jaxpr(fn)(*args, **kwargs)
-    _walk(jaxpr.jaxpr, 1.0, out)
+    defs: dict = {}
+    alias: dict = {}
+    _index_jaxpr(jaxpr.jaxpr, defs, alias)
+    _walk(jaxpr.jaxpr, 1.0, out, defs, alias)
     out["pallas"] = tally["flops"]
     return out
