@@ -100,7 +100,11 @@ class _SplitConcatGroupNorm(nn.Module):
     dtype: object = None  # output dtype; None keeps the f32 promotion
 
     @nn.compact
-    def __call__(self, q, k):
+    def __call__(self, q, k, k_stats=None):
+        """``k_stats``: optional externally computed f32 per-channel
+        ``(sum, sum-of-squares)`` of ``k`` over its (M, K) axes, each
+        (B, C2) — computed next to k's producing matmul so the reduce fuses
+        into that epilogue instead of re-reading the (B, M, K, C2) tensor."""
         c1 = int(q.shape[-1])
         c2 = int(k.shape[-1])
         c = c1 + c2
@@ -115,12 +119,16 @@ class _SplitConcatGroupNorm(nn.Module):
 
         xq = q.astype(jnp.float32)
         xk = k.astype(jnp.float32)
+        if k_stats is not None:
+            sum_k, ssq_k = k_stats
+        else:
+            sum_k = jnp.sum(xk, axis=(1, 2))
+            ssq_k = jnp.sum(xk * xk, axis=(1, 2))
         sum_c = jnp.concatenate(
-            [jnp.sum(xq, axis=1) * K, jnp.sum(xk, axis=(1, 2))], axis=-1
+            [jnp.sum(xq, axis=1) * K, sum_k], axis=-1
         )[:, :normed_c]  # (B, normed_c) per-channel sums, q weighted by K
         ssq_c = jnp.concatenate(
-            [jnp.sum(xq * xq, axis=1) * K, jnp.sum(xk * xk, axis=(1, 2))],
-            axis=-1,
+            [jnp.sum(xq * xq, axis=1) * K, ssq_k], axis=-1
         )[:, :normed_c]
         B = sum_c.shape[0]
         mean = sum_c.reshape(B, self.num_groups, gs).sum(-1) / cnt
@@ -228,11 +236,12 @@ class AttentionPool(nn.Module):
 
     @nn.compact
     def __call__(self, feat, grouped_feat, grouped_feat_out, counts,
-                 fused=False, key_pre=None):
+                 fused=False, key_pre=None, key_stats=None):
         """``key_pre``: externally computed ``Dense_1(grouped_feat)`` (from a
         merged matmul that reads the grouped tensor once for all its
         consumers); the key Dense is then skipped (explicitly named, so the
-        parameter tree is unchanged)."""
+        parameter tree is unchanged).  ``key_stats``: precomputed f32
+        (sum, ssq) of relu(key_pre) over (M, K), for the GroupNorm."""
         K = grouped_feat.shape[-2]
         c_out = self.out_features
         c1 = max(feat.shape[-1], 32)
@@ -292,7 +301,7 @@ class AttentionPool(nn.Module):
             hq, hk = _SplitConcatGroupNorm(
                 min(32, c1 + c2), K, dtype=self.dtype,
                 name="PartialGroupNorm_0",
-            )(hq, hk)
+            )(hq, hk, k_stats=key_stats)
         qp, kp = _SplitDense(inter_c, self.dtype, name="Dense_2")(hq, hk)
         h = jnp.maximum(qp[:, :, None, :] + kp, 0.0)  # (B, M, K, inter_c)
         if self.attention_bn:

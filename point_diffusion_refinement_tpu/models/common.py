@@ -70,7 +70,11 @@ class PartialGroupNorm(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
+        """``stats``: optional externally computed per-channel f32
+        ``(sum, sum-of-squares)`` over the spatial axes (each (B, >=C)) —
+        used by the packed-first-layer path so the reduction fuses into the
+        producing matmul's epilogue instead of re-reading the tensor."""
         c = x.shape[-1]
         normed_c = c - c % self.num_groups
         if normed_c == 0:
@@ -83,11 +87,15 @@ class PartialGroupNorm(nn.Module):
         # on the lane axis (the tensor's natural layout), so XLA does not
         # relayout (B, M, K, C) to M-minor just for the group reduction —
         # the group combine then runs on the tiny (B, C) sums.
-        head = x[..., :normed_c].astype(jnp.float32)
         spatial = tuple(range(1, x.ndim - 1))
         cnt = float(np.prod([x.shape[a] for a in spatial])) * cg
-        sum_c = jnp.sum(head, axis=spatial)                   # (B, normed_c)
-        ssq_c = jnp.sum(jnp.square(head), axis=spatial)
+        if stats is not None:
+            sum_c = stats[0][:, :normed_c]
+            ssq_c = stats[1][:, :normed_c]
+        else:
+            head = x[..., :normed_c].astype(jnp.float32)
+            sum_c = jnp.sum(head, axis=spatial)               # (B, normed_c)
+            ssq_c = jnp.sum(jnp.square(head), axis=spatial)
         mean = sum_c.reshape(B, g, cg).sum(-1) / cnt          # (B, g)
         var = jnp.maximum(
             ssq_c.reshape(B, g, cg).sum(-1) / cnt - jnp.square(mean), 0.0
@@ -137,14 +145,15 @@ class SharedMLP(nn.Module):
     dtype: object = None  # compute dtype (e.g. bfloat16); params stay f32
 
     @nn.compact
-    def __call__(self, x, first_pre: bool = False):
+    def __call__(self, x, first_pre: bool = False, first_stats=None):
         """``first_pre=True``: ``x`` is already the FIRST Dense layer's output
         (computed externally as part of a merged multi-head matmul so the
         grouped input tensor is read from HBM once, not once per consumer);
         skip that Dense and run the remaining norm/act/layers.  Only
         meaningful for bn_first=False (Dense-first) stacks.  Layer names are
         explicit (matching the auto-assigned ones) so the skip cannot shift
-        the parameter tree."""
+        the parameter tree.  ``first_stats``: optional precomputed
+        (sum, ssq) GroupNorm statistics of the precomputed first layer."""
         act = ACTIVATIONS[self.activation]
         n = len(self.features)
         if first_pre:
@@ -172,7 +181,7 @@ class SharedMLP(nn.Module):
                         x = PartialGroupNorm(
                             32, dtype=self.dtype,
                             name=f"PartialGroupNorm_{i}",
-                        )(x)
+                        )(x, stats=first_stats if (first_pre and i == 0) else None)
                     x = act(x)
         return x
 
@@ -226,7 +235,8 @@ class ConditionedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, feature, t_emb=None, condition_emb=None,
-                 second_condition_emb=None, first_pre=None, res_pre=None):
+                 second_condition_emb=None, first_pre=None, res_pre=None,
+                 first_stats=None):
         """``first_pre``/``res_pre``: externally computed first-Dense output /
         residual-projection output (from a merged matmul that reads the
         grouped input once for all its consumers — see
@@ -257,7 +267,9 @@ class ConditionedMLP(nn.Module):
         has_rest = len(self.features) > 2
         if first_pre is not None:
             assert not self.bn_first
-            h = mk(self.features[:1])(first_pre, first_pre=True)
+            h = mk(self.features[:1])(
+                first_pre, first_pre=True, first_stats=first_stats
+            )
         else:
             h = mk(self.features[:1])(feature)
         if self.include_t:

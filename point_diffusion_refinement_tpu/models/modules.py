@@ -33,6 +33,7 @@ def _packed_first_layers(
     ap_name,
     key_features: int,
     dtype,
+    attention_bn: bool = True,
 ):
     """Merge the first-layer matmuls that each re-read the grouped tensor
     from HBM into ONE matmul.
@@ -52,7 +53,16 @@ def _packed_first_layers(
     """
     import os
 
-    if os.environ.get("PDR_PACKED", "1") == "0":
+    # Default OFF — measured net NEGATIVE on v5e (B=4, shipped config):
+    # merged 3.82 ms/step vs unmerged 3.69 (same tree, same session), and
+    # 3.71 vs 3.60 in a second A/B.  The merge does delete two HBM reads of
+    # the grouped tensor, but slicing the merged output breaks the
+    # (value, GroupNorm-stats) multi-output epilogue fusion XLA gives the
+    # separate key Dense (AttentionPool PGN_0 95 -> 183 us/step), and
+    # forwarding precomputed stats from the packed site did not restore the
+    # fusion (3.82 ms).  Kept as value/grad-parity-tested opt-in
+    # infrastructure; see STATUS.md round-5 ledger.
+    if os.environ.get("PDR_PACKED", "0") != "1":
         return None
     if cm.bn_first or cm.first_conv_features is not None:
         return None
@@ -107,7 +117,28 @@ def _packed_first_layers(
         res_pre = out[..., off : off + f_last]
         off += f_last
     key_pre = out[..., off:] if key_needed else None
-    return first_pre, res_pre, key_pre
+
+    # GroupNorm statistics computed HERE, adjacent to the producing matmul,
+    # so XLA multi-output-fuses the reduces into the dot's epilogue (the
+    # separate Dense_1 used to get exactly this fusion; slicing the merged
+    # output otherwise forces standalone stats re-read passes over the
+    # (B, M, K, C) tensors).  Same math as the in-module reductions.
+    spatial = tuple(range(1, out.ndim - 1))
+    first_stats = None
+    if cm.bn and not cm.bn_first:
+        h32 = first_pre.astype(jnp.float32)
+        first_stats = (
+            jnp.sum(h32, axis=spatial),
+            jnp.sum(jnp.square(h32), axis=spatial),
+        )
+    key_stats = None
+    if key_needed and attention_bn:
+        hk32 = jnp.maximum(key_pre, 0.0).astype(jnp.float32)
+        key_stats = (
+            jnp.sum(hk32, axis=spatial),
+            jnp.sum(jnp.square(hk32), axis=spatial),
+        )
+    return first_pre, res_pre, key_pre, first_stats, key_stats
 
 
 def _sow_count_hist(mod: nn.Module, counts, nsample: int) -> None:
@@ -336,8 +367,11 @@ class SetAbstraction(nn.Module):
             self, grouped, cm, "ConditionedMLP_0",
             "AttentionPool_0" if self.use_attention else None,
             max(grouped.shape[-1], 32), self.dtype,
+            attention_bn=self.attention_bn,
         )
-        first_pre, res_pre, key_pre = packed if packed is not None else (None,) * 3
+        first_pre, res_pre, key_pre, first_stats, key_stats = (
+            packed if packed is not None else (None,) * 5
+        )
         out = cm(
             grouped,
             t_emb=t_emb if self.include_t else None,
@@ -347,6 +381,7 @@ class SetAbstraction(nn.Module):
             ),
             first_pre=first_pre,
             res_pre=res_pre,
+            first_stats=first_stats,
         )
         if self.use_attention:
             if fps_ordered:
@@ -371,7 +406,8 @@ class SetAbstraction(nn.Module):
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
                 dtype=self.dtype,
-            )(query, grouped, out, counts, fused=windowed, key_pre=key_pre)
+            )(query, grouped, out, counts, fused=windowed, key_pre=key_pre,
+              key_stats=key_stats)
         else:
             new_features = pool_features(out, counts, pooling)
         if qctx is not None:
@@ -618,9 +654,10 @@ class KnnFeaturePropagation(nn.Module):
                 self, grouped, cm1, "ConditionedMLP_0",
                 "AttentionPool_0" if self.use_attention else None,
                 max(grouped.shape[-1], 32), self.dtype,
+                attention_bn=self.attention_bn,
             )
-            first_pre, res_pre, key_pre = (
-                packed if packed is not None else (None,) * 3
+            first_pre, res_pre, key_pre, first_stats, key_stats = (
+                packed if packed is not None else (None,) * 5
             )
             out1 = cm1(
                 grouped,
@@ -629,6 +666,7 @@ class KnnFeaturePropagation(nn.Module):
                 ),
                 first_pre=first_pre,
                 res_pre=res_pre,
+                first_stats=first_stats,
             )
             if self.use_attention:
                 interpolated = AttentionPool(
@@ -638,7 +676,7 @@ class KnnFeaturePropagation(nn.Module):
                     last_activation=self.attention_last_activation,
                     dtype=self.dtype,
                 )(unknown_feats, grouped, out1, "all", fused=windowed,
-                  key_pre=key_pre)
+                  key_pre=key_pre, key_stats=key_stats)
             else:
                 interpolated = pool_features(out1, "all", pooling)
         else:
@@ -804,9 +842,13 @@ class FeatureTransfer(nn.Module):
             self, grouped, cm, "ConditionedMLP_0",
             "AttentionPool_0" if self.use_attention else None,
             max(grouped.shape[-1], 32), self.dtype,
+            attention_bn=self.attention_bn,
         )
-        first_pre, res_pre, key_pre = packed if packed is not None else (None,) * 3
-        out = cm(grouped, first_pre=first_pre, res_pre=res_pre)
+        first_pre, res_pre, key_pre, first_stats, key_stats = (
+            packed if packed is not None else (None,) * 5
+        )
+        out = cm(grouped, first_pre=first_pre, res_pre=res_pre,
+                 first_stats=first_stats)
         if self.use_attention:
             assert query_feats is not None
             pooled = AttentionPool(
@@ -815,7 +857,8 @@ class FeatureTransfer(nn.Module):
                 transform_grouped_feat_out=self.attention_transform_out,
                 last_activation=self.attention_last_activation,
                 dtype=self.dtype,
-            )(query_feats, grouped, out, counts, fused=fused, key_pre=key_pre)
+            )(query_feats, grouped, out, counts, fused=fused, key_pre=key_pre,
+              key_stats=key_stats)
         else:
             pooled = pool_features(out, counts, pooling)
         if pregrouped is not None:

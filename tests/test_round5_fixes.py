@@ -118,12 +118,12 @@ class TestPackedFirstLayers:
         ts = jnp.zeros((2,), jnp.float32)
         label = jnp.zeros((2,), jnp.int32)
         v = model.init(jax.random.PRNGKey(0), x, cond, ts, label)
-        y_on = model.apply(v, x, cond, ts, label)
-        os.environ["PDR_PACKED"] = "0"
+        os.environ["PDR_PACKED"] = "1"  # packed is default-off (see STATUS)
         try:
-            y_off = model.apply(v, x, cond, ts, label)
+            y_on = model.apply(v, x, cond, ts, label)
         finally:
             os.environ.pop("PDR_PACKED", None)
+        y_off = model.apply(v, x, cond, ts, label)
         np.testing.assert_allclose(
             np.asarray(y_on), np.asarray(y_off), atol=2e-5, rtol=2e-4
         )
@@ -144,12 +144,12 @@ class TestPackedFirstLayers:
         def loss(v):
             return jnp.sum(model.apply(v, x, cond, ts, label) ** 2)
 
-        g_on = jax.grad(loss)(v)
-        os.environ["PDR_PACKED"] = "0"
+        os.environ["PDR_PACKED"] = "1"  # packed is default-off (see STATUS)
         try:
-            g_off = jax.grad(loss)(v)
+            g_on = jax.grad(loss)(v)
         finally:
             os.environ.pop("PDR_PACKED", None)
+        g_off = jax.grad(loss)(v)
         flat_on = jax.tree_util.tree_leaves(g_on)
         flat_off = jax.tree_util.tree_leaves(g_off)
         # the packed matmul's ~1e-6 forward reduction-order noise amplifies
