@@ -561,6 +561,10 @@ class PointNet2CloudCondition(nn.Module):
                 ft_sups[level], qctx, enc.radius, enc.k,
                 include_center=enc.include_center_coordinate,
                 interpret=jax.default_backend() != "tpu",
+                # inference never consumes neighbor indices; dropping the
+                # idx hi/lo sublanes shrinks the kernel output 64 vs 80
+                # sublanes per slot at the FT0 segment widths
+                emit_idx=False,
             )
             return (wg, qctx)
 

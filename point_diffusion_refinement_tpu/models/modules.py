@@ -327,6 +327,7 @@ class SetAbstraction(nn.Module):
                     include_center=self.include_center_coordinate,
                     empty_mode="row0",
                     interpret=jax.default_backend() != "tpu",
+                    emit_idx=False,  # inference never reads neighbor indices
                 )
                 # sorted-query order from here on: the MLP is pointwise and
                 # the GroupNorm/attention statistics are permutation-

@@ -602,6 +602,7 @@ def windowed_ball_group(
     include_center: bool = False,
     empty_mode: str = "center_zero",
     interpret: bool = False,
+    emit_idx: bool = True,
 ) -> WindowedGroups:
     """First-<=K-in-index-order ball grouping of every packed feature table
     against a sorted support, windowed along the sort axis.
@@ -633,7 +634,7 @@ def windowed_ball_group(
         return windowed_ball_group_t(
             sup, q, radius, nsample, window=window,
             include_center=include_center, empty_mode=empty_mode,
-            interpret=interpret,
+            interpret=interpret, emit_idx=emit_idx,
         )
     B, Np, _ = sup.planes.shape
     M = q.xyz_sorted.shape[1]
@@ -770,13 +771,16 @@ def build_support_ctx_t(
     )
 
 
-def _seg_widths(feat_dims, pos_cols):
+def _seg_widths(feat_dims, pos_cols, emit_idx: bool = True):
     """Per-table sublane segment widths (8-aligned so downstream channel
     slices hit aligned sublane offsets) and the per-slot total, padded so
     (B, K*out_sub, M) -> (B, K, out_sub, M) stays a pure bitcast under the
-    (16, 128) bf16 tiling."""
+    (16, 128) bf16 tiling.  ``emit_idx=False`` drops the orig-index hi/lo
+    sublanes — inference consumers never read idx, and at the FT0 shapes
+    the two extra sublanes round 66 up to 80 (a 20% larger kernel write)."""
     segs = tuple(_round_up(fd + pos_cols, 8) for fd in feat_dims)
-    out_sub = _round_up(sum(segs) + 2, 16)  # +2: orig-index hi/lo sublanes
+    extra = 2 if emit_idx else 0  # orig-index hi/lo sublanes
+    out_sub = _round_up(sum(segs) + extra, 16)
     return segs, out_sub
 
 
@@ -793,8 +797,8 @@ def _cumsum_sub(x: jax.Array) -> jax.Array:
 
 
 def _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
-                  empty_mode, q, row0, mask, rank, tab, counts, have,
-                  out_ref):
+                  empty_mode, emit_idx, q, row0, mask, rank, tab, counts,
+                  have, out_ref):
     """Transposed per-k gather + channel packing.
 
     mask/rank: (Wn, MT) over candidates; tab: (CT, Wn) bf16; q: (8, MT) f32;
@@ -834,8 +838,9 @@ def _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
             if used < seg:
                 cols.append(jnp.zeros((seg - used, g.shape[1]), jnp.bfloat16))
             off_t += fd
-        cols.append(g[6:8, :].astype(jnp.bfloat16))  # orig idx hi/lo
-        tail = out_sub - (sum(segs) + 2)
+        if emit_idx:
+            cols.append(g[6:8, :].astype(jnp.bfloat16))  # orig idx hi/lo
+        tail = out_sub - (sum(segs) + (2 if emit_idx else 0))
         if tail:
             if zeros1 is None:
                 zeros1 = jnp.zeros((tail, g.shape[1]), jnp.bfloat16)
@@ -846,9 +851,9 @@ def _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
 
 
 def _window_kernel_t(radius, nsample, W, W2, feat_dims, segs, out_sub,
-                     include_center, empty_mode, starts_ref, sup_ref,
-                     prow_ref, q_ref, tab_ref, sup_o_ref, prow_o_ref,
-                     tab_o_ref, row0_ref, out_ref, cnt_ref):
+                     include_center, empty_mode, emit_idx, starts_ref,
+                     sup_ref, prow_ref, q_ref, tab_ref, sup_o_ref,
+                     prow_o_ref, tab_o_ref, row0_ref, out_ref, cnt_ref):
     """Grid (B, M/MT), MT = 128 query LANES.  Same per-tile tier protocol as
     `_window_kernel` (start >= 0 narrow W; start <= -2 mid 2W; -1 wide)."""
     b = pl.program_id(0)
@@ -884,8 +889,8 @@ def _window_kernel_t(radius, nsample, W, W2, feat_dims, segs, out_sub,
         rank = jax.lax.dot_general(lt, mb, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
-                      empty_mode, q, row0_ref[0], mask, rank, tab, counts,
-                      have, out_ref)
+                      empty_mode, emit_idx, q, row0_ref[0], mask, rank, tab,
+                      counts, have, out_ref)
 
     @pl.when(s0 >= 0)
     def _narrow():
@@ -904,28 +909,28 @@ def _window_kernel_t(radius, nsample, W, W2, feat_dims, segs, out_sub,
         have = counts > 0
         rank = (_cumsum_sub(mask.astype(jnp.int32)) - 1).astype(jnp.float32)
         _pack_slots_t(nsample, feat_dims, segs, out_sub, include_center,
-                      empty_mode, q, row0_ref[0], mask, rank, tab, counts,
-                      have, out_ref)
+                      empty_mode, emit_idx, q, row0_ref[0], mask, rank, tab,
+                      counts, have, out_ref)
 
 
-@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
 def _windowed_call_t(planes, planes_row, table_t, qT8, starts, planes_orig,
                      planes_orig_row, table_orig_t, row0,
                      radius: float, nsample: int, W: int, feat_dims: tuple,
                      include_center: bool = False,
                      empty_mode: str = "center_zero",
-                     interpret: bool = False):
+                     interpret: bool = False, emit_idx: bool = True):
     B, Np, _ = planes.shape
     M = qT8.shape[-1]
     MT = 128
     assert M % MT == 0, (M, MT)
     CT = table_t.shape[1]
     pos_cols = 9 if include_center else 6
-    segs, out_sub = _seg_widths(feat_dims, pos_cols)
+    segs, out_sub = _seg_widths(feat_dims, pos_cols, emit_idx)
     W2 = 2 * W if 2 * W < Np else W
     kernel = functools.partial(
         _window_kernel_t, float(radius), nsample, W, W2,
-        feat_dims, segs, out_sub, include_center, empty_mode,
+        feat_dims, segs, out_sub, include_center, empty_mode, emit_idx,
     )
     grid = (B, M // MT)
     full_spec = pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
@@ -1023,6 +1028,7 @@ def windowed_ball_group_t(
     include_center: bool = False,
     empty_mode: str = "center_zero",
     interpret: bool = False,
+    emit_idx: bool = True,
 ) -> WindowedGroups:
     """Transposed-orientation `windowed_ball_group`: identical contract and
     values, M-minor outputs with no relayout copy."""
@@ -1043,10 +1049,10 @@ def windowed_ball_group_t(
         sup.planes, sup.planes_row, sup.table_t, qT8, scal,
         sup.planes_orig, sup.planes_orig_row, sup.table_orig_t, sup.row0,
         float(radius), nsample, W, sup.feat_dims, include_center,
-        empty_mode, interpret,
+        empty_mode, interpret, emit_idx,
     )
     pos_cols = 9 if include_center else 6
-    segs, out_sub = _seg_widths(sup.feat_dims, pos_cols)
+    segs, out_sub = _seg_widths(sup.feat_dims, pos_cols, emit_idx)
     out4 = out.reshape(B, nsample, out_sub, M)  # bitcast (out_sub % 16 == 0)
     used = []
     off = 0
@@ -1057,9 +1063,11 @@ def windowed_ball_group_t(
             jnp.transpose(out4[:, :, off:off + fd + pos_cols, :], (0, 3, 1, 2))
         )
         off += seg
-    ihi = out4[:, :, sum(segs), :].astype(jnp.int32)      # (B, K, M)
-    ilo = out4[:, :, sum(segs) + 1, :].astype(jnp.int32)
-    idx = jnp.transpose(ihi * 128 + ilo, (0, 2, 1))
+    idx = None
+    if emit_idx:
+        ihi = out4[:, :, sum(segs), :].astype(jnp.int32)  # (B, K, M)
+        ilo = out4[:, :, sum(segs) + 1, :].astype(jnp.int32)
+        idx = jnp.transpose(ihi * 128 + ilo, (0, 2, 1))
     return WindowedGroups(
         grouped=tuple(used), counts=counts, idx=idx,
         fell_back=jnp.any(wide),
