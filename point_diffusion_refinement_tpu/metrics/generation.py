@@ -31,14 +31,14 @@ def emd_cd(sample_pcs, ref_pcs, f1_threshold: float = 1e-3) -> dict:
     return {"CD": cd, "EMD": emd, "fscore": f1}
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _block_vs_block(sample_block, ref_block, Rb: int):
+def _block_vs_block_impl(sample_block, ref_block):
     """(Sb, N, 3) x (Rb, N, 3) -> ((Sb, Rb) cd, (Sb, Rb) emd).
 
     All Sb*Rb pairs ride ONE flat batch through the chamfer/EMD kernels —
     one device dispatch per (Sb x Rb) tile instead of the reference's
     per-pair loop (_pairwise_EMD_CD_, evaluation_metrics.py:45-80)."""
     Sb = sample_block.shape[0]
+    Rb = ref_block.shape[0]
     s = jnp.repeat(sample_block, Rb, axis=0)  # (Sb*Rb, N, 3)
     r = jnp.tile(ref_block, (Sb, 1, 1))
     dl, dr = chamfer_distance(s, r)
@@ -47,38 +47,75 @@ def _block_vs_block(sample_block, ref_block, Rb: int):
     return cd.reshape(Sb, Rb), emd.reshape(Sb, Rb)
 
 
+_block_vs_block = jax.jit(_block_vs_block_impl)
+
+
+@jax.jit
+def _block_vs_tile_scan(sample_block, ref_tiles):
+    """(Sb, N, 3) x (C, Rb, N, 3) -> ((C, Sb, Rb) cd, (C, Sb, Rb) emd).
+
+    A whole row-chunk of ref tiles sweeps through ONE jitted lax.scan, so an
+    S x R sweep costs ceil(S/Sb) * ceil(R/(C*Rb)) device dispatches instead
+    of ceil(S/Sb) * ceil(R/Rb) (at MVP scale, dozens instead of thousands).
+    The chunk stays a parameter because a single device execution must stay
+    well under the tunnel's ~30 s execution ceiling (STATUS.md gotchas)."""
+
+    def body(carry, rb):
+        return carry, _block_vs_block_impl(sample_block, rb)
+
+    _, (cd, emd) = jax.lax.scan(body, 0, ref_tiles)
+    return cd, emd
+
+
 def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 16,
-                    sample_batch_size: int = 16):
+                    sample_batch_size: int = 16, scan_chunk: int = 8):
     """Full (S, R) pairwise CD and EMD matrices
     (_pairwise_EMD_CD_, evaluation_metrics.py:45-80).
 
-    Tiles BOTH axes: each dispatch covers a (sample_batch_size x batch_size)
-    block of pairs, so an S x R sweep is ceil(S/Sb)*ceil(R/Rb) device calls
-    instead of S*ceil(R/Rb).  Shrink the block sizes if the
-    (Sb*Rb, N, N) distance planes press on device memory at large N."""
+    Tiles BOTH axes and scans ``scan_chunk`` reference tiles per dispatch:
+    an S x R sweep is ceil(S/Sb) * ceil(R/(scan_chunk*Rb)) device calls.
+    Shrink the block sizes if the (Sb*Rb, N, N) distance planes press on
+    device memory at large N; shrink ``scan_chunk`` if single executions
+    approach the tunnel's execution ceiling."""
     S = sample_pcs.shape[0]
     R = ref_pcs.shape[0]
     Sb = max(1, min(sample_batch_size, S))
     Rb = max(1, min(batch_size, R))
+    C = max(1, int(scan_chunk))
     all_cd = np.zeros((S, R), np.float32)
     all_emd = np.zeros((S, R), np.float32)
     sample = jnp.asarray(sample_pcs)
     ref = jnp.asarray(ref_pcs)
-    # pad to full tiles: ragged tails would recompile _block_vs_block
+    # pad to full tiles: ragged tails would recompile the jitted sweeps
     def tiles(n, b):
         return [(i, min(b, n - i)) for i in range(0, n, b)]
 
+    def pad_rows(x, want):
+        if x.shape[0] == want:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (want - x.shape[0],) + x.shape[1:])]
+        )
+
     for i, si in tiles(S, Sb):
-        sb = sample[i : i + si]
-        if si < Sb:
-            sb = jnp.concatenate([sb, jnp.broadcast_to(sb[:1], (Sb - si,) + sb.shape[1:])])
-        for j, rj in tiles(R, Rb):
-            rb = ref[j : j + rj]
-            if rj < Rb:
-                rb = jnp.concatenate([rb, jnp.broadcast_to(rb[:1], (Rb - rj,) + rb.shape[1:])])
-            cd, emd = _block_vs_block(sb, rb, Rb)
-            all_cd[i : i + si, j : j + rj] = np.asarray(cd)[:si, :rj]
-            all_emd[i : i + si, j : j + rj] = np.asarray(emd)[:si, :rj]
+        sb = pad_rows(sample[i : i + si], Sb)
+        for j0, rj0 in tiles(R, C * Rb):
+            # chunk of up to C ref tiles, padded to exactly (C, Rb, N, 3)
+            chunk = pad_rows(
+                ref[j0 : j0 + rj0],
+                ((rj0 + Rb - 1) // Rb) * Rb,
+            )
+            n_t = chunk.shape[0] // Rb
+            chunk = chunk.reshape((n_t, Rb) + chunk.shape[1:])
+            if n_t < C:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.broadcast_to(chunk[:1], (C - n_t,) + chunk.shape[1:])]
+                )
+            cd, emd = _block_vs_tile_scan(sb, chunk)  # (C, Sb, Rb)
+            cd = np.asarray(cd)[:n_t, :si].transpose(1, 0, 2).reshape(si, -1)
+            emd = np.asarray(emd)[:n_t, :si].transpose(1, 0, 2).reshape(si, -1)
+            all_cd[i : i + si, j0 : j0 + rj0] = cd[:, :rj0]
+            all_emd[i : i + si, j0 : j0 + rj0] = emd[:, :rj0]
     return all_cd, all_emd
 
 
