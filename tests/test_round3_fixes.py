@@ -309,20 +309,26 @@ class TestBatchedPairwiseMetrics:
             np.testing.assert_allclose(emd[i], np.asarray(row["EMD"]), rtol=2e-4, atol=1e-5)
 
     def test_dispatch_count_drops(self, monkeypatch):
-        """One dispatch covers an (Sb x Rb) tile: a (20, 20) sweep at 16x16
-        tiles is 4 calls, vs the 20 * ceil(20/16) = 40 of the per-sample
-        loop (>= 10x at the VERDICT's (100,100): 49 vs 700)."""
+        """One dispatch covers a scan over scan_chunk (Sb x Rb) tiles: a
+        (20, 20) sweep at 16x16 tiles with scan_chunk=1 is 4 dispatches
+        (vs the 40 of the old per-sample loop), and the r5 chunked scan
+        folds whole tile rows into single dispatches (VERDICT r4 item 8)."""
         import point_diffusion_refinement_tpu.metrics.generation as G
 
         calls = {"n": 0}
-        orig = G._block_vs_block
+        orig = G._block_vs_tile_scan
 
-        def counting(sb, rb, Rb):
+        def counting(sb, tiles):
             calls["n"] += 1
-            return orig(sb, rb, Rb)
+            return orig(sb, tiles)
 
-        monkeypatch.setattr(G, "_block_vs_block", counting)
+        monkeypatch.setattr(G, "_block_vs_tile_scan", counting)
         rng = np.random.default_rng(0)
         pcs = rng.uniform(-1, 1, (20, 16, 3)).astype(np.float32)
-        G.pairwise_emd_cd(pcs, pcs, batch_size=16, sample_batch_size=16)
-        assert calls["n"] == 4  # 2 x 2 tiles
+        G.pairwise_emd_cd(pcs, pcs, batch_size=16, sample_batch_size=16,
+                          scan_chunk=1)
+        assert calls["n"] == 4  # 2 x 2 tiles, one per dispatch
+        calls["n"] = 0
+        G.pairwise_emd_cd(pcs, pcs, batch_size=16, sample_batch_size=16,
+                          scan_chunk=8)
+        assert calls["n"] == 2  # both ref tiles ride one scan per sample tile
