@@ -616,12 +616,12 @@ class KnnFeaturePropagation(nn.Module):
 
             from ..ops.pallas_window import (
                 build_query_ctx,
-                build_support_ctx,
+                build_support_ctx_auto,
                 sort_rows,
                 windowed_knn_group,
             )
 
-            sup = build_support_ctx(known, [known_feats], max_ct=256)
+            sup = build_support_ctx_auto(known, [known_feats], max_ct=256)
             if sup is not None:
                 qctx = build_query_ctx(unknown, sup.axis_onehot)
                 grouped = windowed_knn_group(

@@ -1258,7 +1258,19 @@ def windowed_knn_group(
     feats, squared dist, inverse-distance weight, abs pos, rel pos, query
     pos].  Exact up to distance ties and bf16 rounding of the emitted
     channels (matching the lossy_features gather path).
+
+    A SupportCtxT routes to the transposed kernel (same values, M-minor
+    output).
     """
+    if isinstance(sup, SupportCtxT):
+        if q.xyz_sorted.shape[1] % 128 != 0:
+            raise ValueError(
+                "windowed_knn_group: SupportCtxT (transposed kernel) needs "
+                f"query count % 128 == 0, got {q.xyz_sorted.shape[1]}"
+            )
+        return windowed_knn_group_t(
+            sup, q, k, window=window, interpret=interpret
+        )
     B, Np, _ = sup.planes.shape
     M = q.xyz_sorted.shape[1]
     if window is None:
@@ -1299,3 +1311,214 @@ def windowed_knn_group(
         sup.table_orig, k, W, sup.feat_dims, interpret,
     )
     return out[..., : sum(sup.feat_dims) + 11]
+
+
+# ---------------------------------------------------------------------------
+# Transposed windowed kNN + gather (queries on LANES)
+# ---------------------------------------------------------------------------
+#
+# The kNN kernel above shares the weakness the transposed BALL kernel fixed
+# (see the comment block before SupportCtxT): its per-slot gathers pay the
+# MXU for out_cols = round_up(C+11, 128) lanes (256 at the kNN-FP level-0
+# widths, 1.5x the payload) and its (B, M, K, C) outputs force M-minor
+# relayout copies at the pallas boundary.  This twin puts queries on the
+# lane axis end to end: distances/selection are (W, MT) with candidates on
+# sublanes, each gather is tab (CT, W) x onehot (W, MT), and the output
+# block is (K*out_sub, MT) — M-minor, the layout XLA already wants.
+# Values match `windowed_knn_group` / `group_knn_features` exactly up to
+# distance ties (resolved identically: lowest original index) and bf16
+# channel rounding.
+
+
+def _knn_select_t(k, d, tie_col, tie_cap):
+    """Iterative-min k-NN over the SUBLANE axis with lowest-`tie_col` ties.
+
+    d: (W, MT); tie_col: (W, 1).  Returns ([k] of (1, MT) f32 sq-dists
+    ascending, [k] of (W, MT) bool one-hot selections)."""
+    big = jnp.float32(3.4e38)
+    remaining = jnp.ones(d.shape, jnp.bool_)
+    vals, sels = [], []
+    for _ in range(k):
+        cand = jnp.where(remaining, d, big)
+        val = jnp.min(cand, axis=0, keepdims=True)  # (1, MT)
+        hit = cand == val
+        o = jnp.min(jnp.where(hit, tie_col, tie_cap), axis=0, keepdims=True)
+        sel = hit & (tie_col == o)
+        vals.append(val)
+        sels.append(sel)
+        remaining = remaining & ~sel
+    return vals, sels
+
+
+def _knn_pack_t(k, feat_dims, out_sub, q, vals, sels, tab, out_ref):
+    """Transposed per-slot gather + packing in group_knn_features row order:
+    [feats, sq_dist, inv-dist weight, abs_xyz, rel_xyz, center_xyz]."""
+    recips = [1.0 / (v + 1e-8) for v in vals]
+    wsum = recips[0]
+    for r in recips[1:]:
+        wsum = wsum + r
+    qpos = q[0:3, :]
+    centerb = qpos.astype(jnp.bfloat16)
+    fd = sum(feat_dims)
+    for j in range(k):
+        s = jnp.where(sels[j], 1.0, 0.0).astype(jnp.bfloat16)  # (W, MT)
+        g = jax.lax.dot_general(tab, s, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (CT, MT)
+        absx = g[0:3, :] + g[3:6, :]
+        rel = absx - qpos
+        rows = [
+            g[8:8 + fd, :].astype(jnp.bfloat16),
+            vals[j].astype(jnp.bfloat16),
+            (recips[j] / wsum).astype(jnp.bfloat16),
+            absx.astype(jnp.bfloat16),
+            rel.astype(jnp.bfloat16),
+            centerb,
+        ]
+        used = fd + 11
+        if used < out_sub:
+            rows.append(jnp.zeros((out_sub - used, g.shape[1]), jnp.bfloat16))
+        out_ref[0, j * out_sub:(j + 1) * out_sub, :] = jnp.concatenate(
+            rows, axis=0
+        )
+
+
+def _knn_window_kernel_t(k, W, feat_dims, out_sub, n_valid, starts_ref,
+                         sup_ref, q_ref, tab_ref, sup_o_ref, tab_o_ref,
+                         out_ref):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    q = q_ref[0]                                # (8, MT): x, y, z, key, 0...
+    start = pl.multiple_of(starts_ref[b, t], 128)
+    sup = sup_ref[0, pl.ds(start, W), :]        # (W, 8) sorted rows
+    tab = tab_ref[0, :, pl.ds(start, W)]        # (CT, W) bf16
+    d = None
+    for c in range(3):
+        diff = sup[:, c:c + 1] - q[c:c + 1, :]  # (W, MT)
+        d = diff * diff if d is None else d + diff * diff
+    vals, sels = _knn_select_t(k, d, sup[:, 3:4], jnp.float32(2.0e6))
+
+    # window sufficiency: the k-th neighbor must beat the key-gap to both
+    # window edges (bounds at the array edges are vacuously sufficient)
+    dk = vals[-1]                               # (1, MT)
+    qk = q[3:4, :]
+    lgap = qk - sup[0, 4]
+    rgap = sup[W - 1, 4] - qk
+    ok_l = (start == 0) | (dk < lgap * lgap)
+    ok_r = (start + W >= n_valid) | (dk < rgap * rgap)
+    valid = jnp.all(ok_l & ok_r)
+
+    @pl.when(valid)
+    def _narrow():
+        _knn_pack_t(k, feat_dims, out_sub, q, vals, sels, tab, out_ref)
+
+    @pl.when(jnp.logical_not(valid))
+    def _wide():
+        sup_o = sup_o_ref[0]                    # (Np, 8) original order
+        tab_o = tab_o_ref[0]                    # (CT, Np)
+        dw = None
+        for c in range(3):
+            diff = sup_o[:, c:c + 1] - q[c:c + 1, :]
+            dw = diff * diff if dw is None else dw + diff * diff
+        Np = dw.shape[0]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0).astype(
+            jnp.float32
+        )
+        vw, sw = _knn_select_t(k, dw, sub, jnp.float32(Np))
+        _knn_pack_t(k, feat_dims, out_sub, q, vw, sw, tab_o, out_ref)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def _knn_windowed_call_t(planes, table_t, qT8, starts, planes_orig,
+                         table_orig_t, k: int, W: int, feat_dims: tuple,
+                         out_sub: int, interpret: bool = False):
+    B, Np, _ = planes.shape
+    M = qT8.shape[-1]
+    MT = 128
+    assert M % MT == 0, (M, MT)
+    CT = table_t.shape[1]
+    kernel = functools.partial(
+        _knn_window_kernel_t, k, W, feat_dims, out_sub, Np,
+    )
+    grid = (B, M // MT)
+    full_spec = pl.BlockSpec((1, Np, 8), lambda b, t, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((1, CT, Np), lambda b, t, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                full_spec,
+                pl.BlockSpec((1, 8, MT), lambda b, t, s: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                table_spec,
+                full_spec,
+                table_spec,
+            ],
+            out_specs=pl.BlockSpec((1, k * out_sub, MT),
+                                   lambda b, t, s: (b, 0, t),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        out_shape=jax.ShapeDtypeStruct((B, k * out_sub, M), jnp.bfloat16),
+        interpret=interpret,
+    )(starts, planes, qT8, table_t, planes_orig, table_orig_t)
+    return out
+
+
+def windowed_knn_group_t(
+    sup: SupportCtxT,
+    q: QueryCtx,
+    k: int,
+    window: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-orientation `windowed_knn_group`: identical contract and
+    values, M-minor output with no relayout copy and no 128-lane padding of
+    the per-slot gathers."""
+    B, Np, _ = sup.planes.shape
+    M = q.xyz_sorted.shape[1]
+    assert M % 128 == 0, M
+    if window is None:
+        env = os.environ.get("PDR_KNN_W")
+        window = int(env) if env else None
+    W = window if window is not None else default_window(sup.n)
+    W = min(W, Np)
+    assert W >= k + 128, (W, k)
+    Tn = M // 128
+
+    # center each tile's window on its median key position
+    tiles = q.keys.reshape(B, Tn, 128)
+    mid = 0.5 * (tiles.min(-1) + tiles.max(-1))
+    pos = jnp.sum(
+        (sup.keys[:, :, None] < mid[:, None, :]).astype(jnp.int32), axis=1
+    )
+    starts = jnp.clip(
+        ((pos.astype(jnp.int32) - W // 2) // 128) * 128, 0, max(Np - W, 0)
+    )
+
+    qT8 = jnp.concatenate(
+        [
+            jnp.swapaxes(q.xyz_sorted, 1, 2),
+            q.keys[:, None, :],
+            jnp.zeros((B, 4, M), jnp.float32),
+        ],
+        axis=1,
+    )  # (B, 8, M)
+
+    fd = sum(sup.feat_dims)
+    out_sub = _round_up(fd + 11, 16)
+    from ..utils.flops import record_pallas_macs
+
+    record_pallas_macs(
+        float(B) * M * k * float(W) * sup.table_orig_t.shape[1]
+    )
+    out = _knn_windowed_call_t(
+        sup.planes, sup.table_t, qT8, starts, sup.planes_orig,
+        sup.table_orig_t, k, W, sup.feat_dims, out_sub, interpret,
+    )
+    out4 = out.reshape(B, k, out_sub, M)  # bitcast (out_sub % 16 == 0)
+    # (B, K, C, M) -> logical (B, M, K, C); physically M-minor already
+    return jnp.transpose(out4[:, :, : fd + 11, :], (0, 3, 1, 2))

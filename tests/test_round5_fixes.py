@@ -230,3 +230,47 @@ class TestF32RunsWarningFree:
             if w.category is UserWarning and "slower unfused" in str(w.message)
         ]
         assert not hits, hits
+
+
+class TestTransposedWindowedKnn:
+    """The transposed windowed kNN kernel must match group_knn_features
+    (up to bf16 channel rounding) and the non-transposed windowed kernel
+    exactly, in sorted-query order."""
+
+    def test_matches_group_knn_features(self, rng_np):
+        from point_diffusion_refinement_tpu.models.grouping import (
+            group_knn_features,
+        )
+        from point_diffusion_refinement_tpu.ops.pallas_window import (
+            build_query_ctx,
+            build_support_ctx,
+            build_support_ctx_t,
+            sort_rows,
+            windowed_knn_group,
+        )
+
+        B, N, M, C, k = 2, 1024, 256, 24, 8
+        known = jnp.asarray(rng_np.uniform(-1, 1, (B, N, 3)), jnp.float32)
+        feats = jnp.asarray(rng_np.normal(size=(B, N, C)), jnp.bfloat16)
+        unknown = jnp.asarray(rng_np.uniform(-1, 1, (B, M, 3)), jnp.float32)
+
+        sup_t = build_support_ctx_t(known, [feats], max_ct=256)
+        qctx = build_query_ctx(unknown, sup_t.axis_onehot)
+        out_t = windowed_knn_group(sup_t, qctx, k, interpret=True)
+
+        # reference: exact kNN gather on the sorted queries
+        ref = group_knn_features(
+            qctx.xyz_sorted, known, feats, k, lossy_features=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_t, np.float32),
+            np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,  # bf16 channel rounding; d/w recomputed
+        )
+
+        # exact agreement with the non-transposed windowed kernel
+        sup = build_support_ctx(known, [feats], max_ct=256)
+        out_l = windowed_knn_group(sup, qctx, k, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out_t, np.float32), np.asarray(out_l, np.float32)
+        )
