@@ -47,9 +47,11 @@ def _packed_first_layers(
     and slicing the outputs deletes two full reads per grouping site with
     bit-identical per-output arithmetic.
 
-    Returns (first_pre, res_pre, key_pre) or None when the parameters are
-    not available yet (init traces the unmerged path, which creates them) or
-    the configuration doesn't match (bn_first / first_conv stacks).
+    Returns (first_pre, res_pre, key_pre, first_stats, key_stats) — the
+    precomputed layer outputs plus their GroupNorm (sum, ssq) statistics —
+    or None when the parameters are not available yet (init traces the
+    unmerged path, which creates them) or the configuration doesn't match
+    (bn_first / first_conv stacks).
     """
     import os
 

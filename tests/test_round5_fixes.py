@@ -9,7 +9,13 @@ Covers:
     (advisor r4 low),
   * f32 (compute_dtype != bfloat16) configs trace warning-free through the
     windowed-ft request — the fallback is configured intent, not a surprise
-    (VERDICT r4 item 7 / advisor r4 low).
+    (VERDICT r4 item 7 / advisor r4 low),
+  * value + grad parity of the merged first-layer matmul (PDR_PACKED=1,
+    default-off: measured net negative, STATUS.md round-5 ledger),
+  * the FPS-with-coords kernel vs FPS + gather (bit-exact),
+  * the MXU row gather vs the native gather,
+  * the transposed windowed kNN kernel vs group_knn_features and vs the
+    lane-major kernel (bit-exact).
 """
 
 import copy
